@@ -1,0 +1,90 @@
+"""Crawler configuration surface.
+
+Parity with the reference's config knobs:
+- ``beans/CrawlerConfiguration.java:12-30`` (baseUrl, baseUrlSecure,
+  threadLimit, downloadVsProcessRatio, maxProcessWaitingRatio,
+  maxProcessWaiting, shortCircuitAfter, disableRedirects,
+  enabledJavascript)
+- ``SiteCrawler.java`` setters: allowedSuffixes defaults
+  (``SiteCrawler.java:830-835``), requireAllowedSuffixes
+  (``:96,528-530``), blocked/allowed pattern sets (``:116,121``),
+  ignoreQueryParams / makeRelativeUrlAbsolute
+  (``navigation/ProcessPage.java:83,95``).
+
+Target-only additions required by the north rule: per-host politeness
+budget, robots.txt rules (compiled into the blocked predicate — the
+reference explicitly does NOT honor robots, README.md:159-160, and
+tells users to feed disallow rules to setBlocked), host-salting for
+hot-domain skew, and wave-size caps (the micro-batch analog of
+``maxProcessWaiting`` backpressure, ``SiteCrawler.java:1058-1063``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+DEFAULT_ALLOWED_SUFFIXES = ["/", ".jsp", ".htm", ".html"]  # SiteCrawler.java:830-835
+
+
+@dataclass
+class RobotsRule:
+    """One robots.txt disallow rule, compiled into the blocked predicate."""
+
+    host: str
+    disallow: str  # path prefix
+
+
+@dataclass
+class CrawlerConfig:
+    """All knobs for one crawl. Broadcast to executors as plain literals."""
+
+    base_url: str | None = None          # e.g. "http://www.salesforce.com"
+    base_url_secure: str | None = None   # e.g. "https://www.salesforce.com"
+
+    # Admission control (SiteCrawler.java:1152-1227)
+    allowed_suffixes: list[str] = field(
+        default_factory=lambda: list(DEFAULT_ALLOWED_SUFFIXES)
+    )
+    require_allowed_suffixes: bool = True
+    blocked: list[str] = field(default_factory=list)    # substring patterns
+    allowed: list[str] = field(default_factory=list)    # substring whitelist
+
+    # Link rewriting (ProcessPage.java:83,95,226-250)
+    ignore_query_params: bool = False
+    make_relative_url_absolute: bool = False
+
+    # URL cleaning (URLCleaner.java:13-42)
+    url_path_should_not_end_in_slash: bool = True
+    allowed_parameters: list[str] = field(default_factory=list)
+
+    # Crawl loop control
+    short_circuit_after: int = 0          # 0 = unlimited (SiteCrawler.java:242,477-491)
+    disable_redirects: bool = False       # SiteCrawler.java:252,503-512
+    enable_javascript: bool = False       # kept for config parity; parser is static HTML
+
+    # Retry policy (WebClientExtended.java:48,53,62)
+    max_retries: int = 5
+    backoff_base_ms: int = 10_000
+
+    # Target-only scale knobs (north rule)
+    politeness_budget: int = 0            # max fetches per host per wave; 0 = unlimited
+    max_wave_size: int = 0                # global wave cap (≙ maxProcessWaiting); 0 = unlimited
+    host_salts: int = 1                   # salt buckets for hot-host skew
+    host_buckets: int = 8                 # bucket(host) partitioning of state tables
+    robots_rules: list[RobotsRule] = field(default_factory=list)
+
+    def effective_base(self) -> str:
+        """Base used by prependBaseUrlIfNeeded (SiteCrawler.java:1133-1138):
+        baseUrlSecure preferred, then baseUrl."""
+        if self.base_url_secure is not None:
+            return self.base_url_secure
+        if self.base_url is not None:
+            return self.base_url
+        raise ValueError("Cannot have both base_url AND base_url_secure be None")
+
+    def robots_blocked_patterns(self) -> list[str]:
+        """Compile robots disallow rules to substring patterns of the same
+        form as `blocked` — the integration path the reference README
+        suggests (README.md:159-160): '<host><path-prefix>'."""
+        return [f"{r.host}{r.disallow}" for r in self.robots_rules]

@@ -1,0 +1,167 @@
+"""Spark-native Column builders for the URL kernel.
+
+Same semantics as ``urls_py`` (the Java-parity oracle), expressed as
+pure Catalyst expressions — whole-stage-codegen'd, no Python in the hot
+path. Every builder is tested for equality against the Python kernel on
+golden + randomized inputs (tests/test_url_kernel.py).
+
+Citations: URLNormalizer.java:49-60, URLCleaner.java:58-108,
+SiteCrawler.java:1120-1141 (prepend), :1152-1227 (isExcluded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sitecrawler_spark.config import CrawlerConfig
+
+_BIG = 1 << 30  # "rest of string" length for Column.substr
+
+
+def java_trim(c: Column) -> Column:
+    """Java String.trim: strip chars <= U+0020 from both ends."""
+    return F.regexp_replace(c, r"^[\x00-\x20]+|[\x00-\x20]+$", "")
+
+
+def normalize2(c: Column, base: str | None) -> Column:
+    """URLNormalizer.normalize(url, base) — URLNormalizer.java:49-60.
+    Java quirks kept: null base concatenates "null"; the /index.jsp
+    replace hits every occurrence (guarded by endsWith)."""
+    u = java_trim(c)
+    u = F.when(
+        u.startswith("/") & ~u.startswith("//"),
+        F.concat(F.lit("null" if base is None else base), u),
+    ).otherwise(u)
+    return F.when(
+        u.endswith("/index.jsp"), F.replace(u, F.lit("/index.jsp"), F.lit("/"))
+    ).otherwise(u)
+
+
+def prepend_base_if_needed(
+    c: Column, base_url: str | None, base_url_secure: str | None
+) -> Column:
+    """SiteCrawler.prependBaseUrlIfNeeded — SiteCrawler.java:1120-1141."""
+    base = base_url_secure if base_url_secure is not None else base_url
+    if base is None:
+        raise ValueError("Cannot have both baseUrl AND baseUrlSecure be null!")
+    slashed = F.when(c.startswith("/"), c).otherwise(F.concat(F.lit("/"), c))
+    return F.when(c.contains("://"), c).otherwise(F.concat(F.lit(base), slashed))
+
+
+def _parse(u: Column) -> tuple[Column, Column, Column, Column]:
+    """java.net.URL-compatible (is_http, host, path, query) for
+    http(s):// URLs. query is null ≙ java getQuery()==null."""
+    is_http = u.rlike("^(?i)https?://")
+    nofrag = F.substring_index(u, "#", 1)  # fragment strips at first '#'
+    after = F.regexp_replace(nofrag, "^(?i)https?://", "")
+    authority = F.regexp_extract(after, "^([^/?]*)", 1)
+    hostport = F.substring_index(authority, "@", -1)  # after last '@'
+    valid_port = hostport.rlike("^[^:]*(:[0-9]*)?$")
+    host = F.substring_index(hostport, ":", 1)
+    pathq = after.substr(F.length(authority) + F.lit(1), F.lit(_BIG))
+    path = F.substring_index(pathq, "?", 1)
+    qpos = F.instr(pathq, "?")
+    query = F.when(qpos > 0, pathq.substr(qpos + F.lit(1), F.lit(_BIG)))
+    ok = is_http & valid_port
+    return ok, host, path, query
+
+
+def clean_url(
+    c: Column,
+    allowed_parameters: list[str] | None = None,
+    url_path_should_not_end_in_slash: bool = True,
+) -> Column:
+    """URLCleaner.getCleanedUrl — URLCleaner.java:58-108, as a native
+    expression. Faithful to the reference's whole-string truncation on
+    the trailing-slash strip (URLCleaner.java:66): when the path ends in
+    '/' with no '.', the LAST CHAR OF THE URL STRING is dropped and the
+    URL re-parsed (mangles the final query char if a query is present).
+    """
+    allowed_parameters = allowed_parameters or []
+
+    ok1, _h1, path1, _q1 = _parse(c)
+    strip = (
+        path1.endswith("/") & ~path1.contains(".")
+        if url_path_should_not_end_in_slash
+        else F.lit(False)
+    )
+    u2 = F.when(strip, c.substr(F.lit(1), F.length(c) - F.lit(1))).otherwise(c)
+    ok, host, path, query = _parse(u2)
+
+    hostpath = F.concat(host, path)
+    if allowed_parameters:
+        # java String.split drops trailing empty strings: trim trailing '&'s
+        qtrim = F.regexp_replace(query, "&+$", "")
+        parts = F.split(qtrim, "&")
+        kept = F.filter(
+            parts,
+            lambda x: F.substring_index(x, "=", 1).isin(*allowed_parameters),
+        )
+        with_q = F.when(
+            query.isNotNull() & (query != "") & (F.size(kept) > 0),
+            F.concat(hostpath, F.lit("?"), F.array_join(kept, "&")),
+        ).otherwise(hostpath)
+    else:
+        with_q = hostpath
+    return F.when(ok1 & ok, with_q)  # else null ≙ MalformedURLException
+
+
+def url_host(c: Column) -> Column:
+    """Host column for partitioning / politeness; '' if unparseable."""
+    ok, host, _p, _q = _parse(c)
+    return F.when(ok, host).otherwise(F.lit(""))
+
+
+def is_excluded_static(c: Column, cfg: CrawlerConfig) -> Column:
+    """SiteCrawler.isExcluded minus the visited probes
+    (SiteCrawler.java:1152-1227). Returns a boolean Column that is true
+    when the URL is excluded. The visited probes (:1204-1207,
+    :1220-1224) are anti-joins — see operators/admission.py."""
+    scope_ok = F.lit(False)
+    if cfg.base_url is not None:
+        scope_ok = scope_ok | c.startswith(cfg.base_url)
+    if cfg.base_url_secure is not None:
+        scope_ok = scope_ok | c.startswith(cfg.base_url_secure)
+    # site-relative "/x" but not "//x", length > 1 (SiteCrawler.java:1167)
+    scope_ok = scope_ok | (
+        (F.length(c) > 1) & c.startswith("/") & ~c.startswith("//")
+    )
+
+    # suffix gate (:1185-1202)
+    if cfg.require_allowed_suffixes:
+        suffix = F.lower(F.substring_index(c, "?", 1))
+        suffix_ok = F.lit(False)
+        for s in cfg.allowed_suffixes:
+            suffix_ok = suffix_ok | suffix.endswith(s)
+    else:
+        suffix_ok = F.lit(True)
+
+    # blocked substrings incl. compiled robots rules (:1209-1212)
+    blocked_hit = F.lit(False)
+    for b in list(cfg.blocked) + cfg.robots_blocked_patterns():
+        blocked_hit = blocked_hit | c.contains(b)
+
+    # allowed whitelist (:1214-1217)
+    if cfg.allowed:
+        allowed_ok = F.lit(False)
+        for a in cfg.allowed:
+            allowed_ok = allowed_ok | c.contains(a)
+    else:
+        allowed_ok = F.lit(True)
+
+    return ~(scope_ok & suffix_ok & ~blocked_hit & allowed_ok)
+
+
+def admitted_static(c: Column, cfg: CrawlerConfig) -> Column:
+    """Convenience: NOT excluded (static predicates only)."""
+    return ~is_excluded_static(c, cfg)
+
+
+def portable_hash64(c: Column) -> Column:
+    """Deterministic 60-bit hash reproducible in DuckDB:
+    spark:  conv(substr(md5(x),1,15),16,10) :: long
+    duckdb: ('0x' || substr(md5(x),1,15)) :: bigint
+    Used for oracle-checkable hashing (minhash, salting, doc ids). The
+    engine's internal hot-path hashing uses xxhash64 (faster, JVM)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
