@@ -1,38 +1,76 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the crawl admission pipeline over the URL
+corpus derived from sf0.001 ``documents`` (admission filter → clean →
+seen anti-join → within-batch dedup → per-host politeness top-k —
+the exact dequeue-stage of the wave engine).
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2; oracle SQL is an independent DuckDB re-implementation.
+``q_crawl_e2e`` intentionally has no oracle (iterative cyclic
+dataflow); its parity gate is tests/test_crawl_e2e.py vs the
+single-threaded reference model.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sitecrawler_spark import oracles as _oracles  # noqa: E402
+from sitecrawler_spark import queries as _queries  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: frontier-dequeue pipeline at sf0.001."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sitecrawler_spark.kernel import urls_spark as K
+
+    sf_dir = "/root/testdata/sf0.001"
+    urls = _queries._urls(spark, sf_dir)
+    cfg = _queries.CFG
+    adm = urls.filter(K.admitted_static(F.col("url"), cfg))
+    adm = adm.withColumn(
+        "url_clean", K.clean_url(F.col("url"), _queries.ALLOWED_PARAMS, True)
+    )
+    visited = urls.filter(F.col("doc_id") % 5 == 0).select(F.col("url").alias("s"))
+    adm = adm.join(visited, adm.url == visited.s, "left_anti")
+    key = F.coalesce(F.col("url_clean"), F.concat(F.lit("RAW:"), F.col("url")))
+    w = Window.partitionBy(key).orderBy("doc_id")
+    adm = adm.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    adm = adm.withColumn("host", K.url_host(F.col("url")))
+    wh = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        adm.withColumn("hrn", F.row_number().over(wh))
+        .filter(F.col("hrn") <= 10)
+        .select("doc_id", "url", "url_clean", "host")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_admission_filter": _queries.q_admission_filter,
+        "q_url_clean": _queries.q_url_clean,
+        "q_url_normalize": _queries.q_url_normalize,
+        "q_prepend_base": _queries.q_prepend_base,
+        "q_seen_antijoin": _queries.q_seen_antijoin,
+        "q_frontier_dedup": _queries.q_frontier_dedup,
+        "q_politeness_topk": _queries.q_politeness_topk,
+        "q_referrer_agg": _queries.q_referrer_agg,
+        "q_suffix_gate": _queries.q_suffix_gate,
+        "q_error_dispatch": _queries.q_error_dispatch,
+        "q_lineitem_pricing": _queries.q_lineitem_pricing,
+        "q_events_hourly": _queries.q_events_hourly,
+        "q_crawl_e2e": _queries.q_crawl_e2e,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_oracles.ORACLES)

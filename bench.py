@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + crawl-core throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "urls_per_sec": <frontier dequeue+dedup throughput>,
+   "crawl_pages_per_sec": <end-to-end wave-engine page rate>}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_FRONTIER_N (default 2_000_000 synthetic frontier URLs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from sitecrawler_spark.kernel import urls_spark as K
+from sitecrawler_spark.queries import CFG
+from sitecrawler_spark.session import get_spark
+
+HEADLINE = [
+    "q_admission_filter", "q_url_clean", "q_url_normalize", "q_seen_antijoin",
+    "q_frontier_dedup", "q_politeness_topk", "q_referrer_agg",
+    "q_lineitem_pricing", "q_events_hourly",
+]
+
+
+def synthetic_frontier(spark, n: int):
+    """Seed-free generated frontier (BASELINE: 10^10-URL frontier is
+    *generated*, not materialized): urls derived from range ids with the
+    same shape mix as the salesforce.com fixture corpus."""
+    df = spark.range(n)
+    host = (
+        F.when(F.col("id") % 19 == 0, F.lit("https://external.example.org"))
+        .when(F.col("id") % 2 == 0, F.lit("https://www.salesforce.com"))
+        .otherwise(F.lit("http://www.salesforce.com"))
+    )
+    word = F.element_at(
+        F.array(*[F.lit(w) for w in ["cloud", "crm", "sales", "data", "app"]]),
+        (F.col("id") % 5 + 1).cast("int"),
+    )
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in [".html", "/", ".jsp", ".php", ".htm"]]),
+        (F.col("id") % 5 + 1).cast("int"),
+    )
+    q = (
+        F.when(F.col("id") % 7 == 0, F.concat(F.lit("?a="), F.col("id") % 3,
+                                              F.lit("&c=d")))
+        .otherwise(F.lit(""))
+    )
+    # ~10% duplicate URLs (dedup work) via id folding
+    pid = F.when(F.col("id") % 10 == 9, (F.col("id") / 2).cast("long")).otherwise(
+        F.col("id")
+    )
+    url = F.concat(host, F.lit("/"), word, F.lit("/doc"), pid, suffix, q)
+    return df.select(F.col("id").alias("discovery_order"), url.alias("url"))
+
+
+def bench_frontier_dedup(spark, n: int) -> tuple[float, int, float]:
+    """The engine's dequeue stage at scale: static admission → clean →
+    seen anti-join → within-wave dedup → per-host politeness."""
+    frontier = synthetic_frontier(spark, n)
+    visited = synthetic_frontier(spark, n // 4).select(F.col("url").alias("s"))
+    t0 = time.time()
+    adm = frontier.filter(K.admitted_static(F.col("url"), CFG))
+    adm = adm.join(visited, adm.url == visited.s, "left_anti")
+    adm = adm.withColumn("url_clean", K.clean_url(F.col("url"), ["a"], True))
+    key = F.coalesce(F.col("url_clean"), F.concat(F.lit("RAW:"), F.col("url")))
+    w = Window.partitionBy(key).orderBy("discovery_order")
+    adm = adm.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    adm = adm.withColumn("host", K.url_host(F.col("url")))
+    out = adm.count()
+    dt = time.time() - t0
+    return dt, out, n / dt
+
+
+def bench_crawl_engine(spark) -> tuple[float, int, float]:
+    """End-to-end wave engine on a larger synthetic site."""
+    from sitecrawler_spark.config import CrawlerConfig
+    from sitecrawler_spark.crawl import sitegen
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+
+    rows = sitegen.generate_site(n_pages=1500, seed=42, links_per_page=8)
+    web = sitegen.site_to_df(spark, rows).cache()
+    web.count()
+    cfg = CrawlerConfig(
+        base_url="http://www.salesforce.com",
+        base_url_secure="https://www.salesforce.com",
+        disable_redirects=True, blocked=["/logout"],
+    )
+    eng = SparkSiteCrawler(spark, cfg, web, broadcast_web=True)
+    t0 = time.time()
+    eng.crawl(sitegen.seeds_for(rows, 3), max_waves=50)
+    dt = time.time() - t0
+    return dt, eng.visited_counter, eng.visited_counter / dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    frontier_n = int(os.environ.get("BENCH_FRONTIER_N", "2000000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(cores=cpus, app_name="sitecrawler-bench",
+                      shuffle_partitions=cpus)
+
+    qtimes: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    fd_sec, fd_rows, fd_rate = bench_frontier_dedup(spark, frontier_n)
+    qtimes["frontier_dedup_2m"] = round(fd_sec, 3)
+    cr_sec, cr_pages, cr_rate = bench_crawl_engine(spark)
+    qtimes["crawl_engine_e2e"] = round(cr_sec, 3)
+
+    total = sum(qtimes.values())
+    print(
+        json.dumps(
+            {
+                "metric": "urls fetched+deduped/sec (frontier dequeue stage) "
+                          "+ headline query suite",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "cpus": cpus,
+                "frontier_n": frontier_n,
+                "frontier_admitted": fd_rows,
+                "urls_per_sec": round(fd_rate, 1),
+                "crawl_pages": cr_pages,
+                "crawl_pages_per_sec": round(cr_rate, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,528 @@
+"""SparkSiteCrawler — the distributed micro-wave crawl engine.
+
+One wave = one bounded Spark job over DataFrames (SURVEY.md §3.1):
+
+    wave     = frontier slice after dequeue checks + politeness budget
+    visited' = visited ∪ wave.url ∪ wave.url_clean      (BEFORE fetch,
+               ≙ SiteCrawler.java:1042-1047 — the ordering that makes
+               the seen set deterministic)
+    pages'   = fetch+parse wave                          (≙ NavigateThread+ProcessPage)
+    cand     = outlinks (iframe-first order) + redirect targets
+    admitted = cand after static filter, visited'/frontier anti-joins,
+               keep-first dedup                          (≙ SiteCrawler.java:943-957)
+    frontier'= deferred ∪ admitted, FIFO discovery_order
+    commit   → snapshot (checkpoint; resume re-reads latest)
+
+Equality with the reference's canonical single-consumer order
+(threadLimit=1, SURVEY.md §3.4) holds because (a) admission predicates
+run in the same order with the same visited-set visibility, (b)
+within-wave duplicate resolution keeps the earliest discovery_order —
+exactly what sequential dequeue produces, and (c) discovery_order
+totally orders enqueues by (parent order, iframe-first span position).
+
+Scale design (north rule): no global single-partition ops — ordering
+via range-partitioned ranking (operators/ordering.py); anti-joins
+shuffle on the url key (bloom prefilter added by operators/seen.py);
+per-host politeness via host-partitioned windows; state commits
+hash-partitioned by host bucket.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sitecrawler_spark.config import CrawlerConfig
+from sitecrawler_spark.crawl.parse import explode_outlinks, parse_html_udf
+from sitecrawler_spark.kernel import urls_spark as K
+from sitecrawler_spark.operators.ordering import assign_global_order
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("raw_url", T.StringType(), False),
+        T.StructField("discovery_order", T.LongType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+    ]
+)
+
+
+class SparkSiteCrawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlerConfig,
+        web_df: DataFrame | None = None,
+        state_dir: str | None = None,
+        use_html: bool = False,
+        broadcast_web: bool | None = None,
+    ):
+        """web_df: the synthetic web (sitegen.WEB_SCHEMA) the fetch stage
+        resolves against; None → fetcher must be a live HTTP fetcher
+        (crawl/fetcher.py). use_html: run the HTML parse kernel on the
+        rendered body instead of trusting stored spans."""
+        self.spark = spark
+        self.cfg = cfg
+        self.web_df = web_df
+        self.use_html = use_html
+        self.broadcast_web = broadcast_web
+        self.store = None
+        if state_dir:
+            from sitecrawler_spark.tableio import APPEND, OVERWRITE, SnapshotStore
+
+            self.store = SnapshotStore(
+                state_dir,
+                {
+                    "frontier": OVERWRITE,
+                    "visited": OVERWRITE,
+                    "pages": APPEND,
+                    "links": APPEND,
+                    "metrics": APPEND,
+                },
+            )
+        # in-memory state between waves (always mirrored to store if set)
+        self.frontier: DataFrame | None = None
+        self.visited: DataFrame | None = None
+        self.pages: DataFrame | None = None
+        self.links: DataFrame | None = None
+        self.metrics_rows: list = []
+        self.wave = 0
+        self.visited_counter = 0
+
+    # -- column helpers ------------------------------------------------------
+
+    def _full_url(self, c):
+        return K.prepend_base_if_needed(c, self.cfg.base_url, self.cfg.base_url_secure)
+
+    def _clean(self, c):
+        return K.clean_url(
+            c, self.cfg.allowed_parameters, self.cfg.url_path_should_not_end_in_slash
+        )
+
+    # -- seeding -------------------------------------------------------------
+
+    def seed(self, seed_paths: list[str] | None = None) -> None:
+        """setIncludePath (SiteCrawler.java:437-448) + navigate() default
+        seed (:621-628). Raw paths are enqueued; exclusion is checked on
+        the base-prepended form; duplicates keep first occurrence."""
+        cfg = self.cfg
+        spark = self.spark
+        rows = [(p, i) for i, p in enumerate(seed_paths or [])]
+        df = spark.createDataFrame(rows, ["raw_url", "seed_order"]) if rows else None
+        if df is not None:
+            full = self._full_url(F.col("raw_url"))
+            df = df.filter(~K.is_excluded_static(full, cfg))
+            w = Window.partitionBy("raw_url").orderBy("seed_order")
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            df = assign_global_order(df, ["seed_order"], "discovery_order", start=0)
+            df = df.select("raw_url", "discovery_order", F.lit(0).alias("depth"))
+            if df.isEmpty():
+                df = None
+        if df is None:
+            # default seed: baseUrl preferred, secure as fallback
+            seed_url = cfg.base_url if cfg.base_url is not None else cfg.base_url_secure
+            df = spark.createDataFrame([(seed_url, 0, 0)], FRONTIER_SCHEMA)
+        self.frontier = df
+        self.visited = self.spark.createDataFrame([], "s string")
+        self.pages = None
+        self.links = None
+        self.wave = 0
+        self.visited_counter = 0
+
+    # -- one wave ------------------------------------------------------------
+
+    def run_wave(self) -> dict:
+        cfg, spark = self.cfg, self.spark
+        t0 = time.time()
+        wave = self.wave
+        frontier = self.frontier
+        visited = self.visited
+
+        fr = frontier.withColumn("full_url", self._full_url(F.col("raw_url")))
+
+        # ---- dequeue-time checks (SiteCrawler.java:1029,1042-1047,1204-1224)
+        ok = fr.filter(~K.is_excluded_static(F.col("full_url"), cfg))
+        ok = ok.join(visited, ok.full_url == visited.s, "left_anti")
+        ok = ok.withColumn("url_clean", self._clean(F.col("full_url")))
+        ok = ok.join(visited, ok.url_clean == visited.s, "left_anti")
+        # within-wave sequential-dequeue emulation: keep earliest per
+        # exact url, then earliest per clean form (null cleans exempt)
+        w_url = Window.partitionBy("full_url").orderBy("discovery_order")
+        ok = ok.withColumn("_rn", F.row_number().over(w_url)).filter(
+            F.col("_rn") == 1
+        ).drop("_rn")
+        clean_key = F.coalesce(
+            F.col("url_clean"), F.concat(F.lit("\x00"), F.col("full_url"))
+        )
+        w_clean = Window.partitionBy(clean_key).orderBy("discovery_order")
+        ok = ok.withColumn("_rn", F.row_number().over(w_clean)).filter(
+            F.col("_rn") == 1
+        ).drop("_rn")
+
+        # ---- politeness budget (target-only; north rule) ------------------
+        ok = ok.withColumn("host", K.url_host(F.col("full_url")))
+        if cfg.politeness_budget > 0:
+            w_host = Window.partitionBy("host").orderBy("discovery_order")
+            ok = ok.withColumn("_hrn", F.row_number().over(w_host))
+            fetch_set = ok.filter(F.col("_hrn") <= cfg.politeness_budget).drop("_hrn")
+        else:
+            fetch_set = ok
+        # shortCircuitAfter: stop after counter exceeds N
+        # (SiteCrawler.java:1086: processes N+1 items total)
+        if cfg.short_circuit_after != 0:
+            remaining = cfg.short_circuit_after + 1 - self.visited_counter
+            fetch_set = (
+                fetch_set.orderBy("discovery_order").limit(max(remaining, 0))
+            )
+        if cfg.max_wave_size > 0:
+            fetch_set = fetch_set.orderBy("discovery_order").limit(cfg.max_wave_size)
+        fetch_set = fetch_set.localCheckpoint(eager=True)
+        n_fetched = fetch_set.count()
+        if n_fetched == 0:
+            self.frontier = frontier.limit(0).localCheckpoint(eager=True)
+            return {"wave": wave, "fetched": 0, "admitted": 0, "stopped": True}
+
+        # ---- visited insert BEFORE fetch (SiteCrawler.java:1042-1047) -----
+        inserts = fetch_set.select(F.col("full_url").alias("s")).unionByName(
+            fetch_set.filter(F.col("url_clean").isNotNull()).select(
+                F.col("url_clean").alias("s")
+            )
+        )
+        # duplicate rows are harmless to anti-joins, so no global distinct
+        # — only the (small) per-wave insert set is deduped
+        visited2 = visited.unionByName(inserts.distinct()).localCheckpoint(eager=True)
+
+        # ---- fetch (join against synthetic web; miss → 404) ---------------
+        pages = self._fetch(fetch_set).localCheckpoint(eager=True)
+
+        # ---- outlinks + redirect targets ----------------------------------
+        cand, links_out = self._extract_candidates(pages)
+
+        # ---- admission (SiteCrawler.java:943-957) -------------------------
+        deferred = frontier.join(
+            fetch_set.select("discovery_order"), "discovery_order", "left_anti"
+        ).join(ok.select("discovery_order"), "discovery_order", "semi") \
+            if cfg.politeness_budget > 0 or cfg.max_wave_size > 0 \
+            or cfg.short_circuit_after != 0 else frontier.limit(0)
+
+        adm = cand.filter(~K.is_excluded_static(F.col("href"), cfg))
+        adm = adm.join(visited2, adm.href == visited2.s, "left_anti")
+        adm = adm.withColumn("_clean", self._clean(F.col("href")))
+        adm = adm.join(visited2, adm._clean == visited2.s, "left_anti").drop("_clean")
+        adm = adm.join(
+            deferred.select(F.col("raw_url").alias("href")), "href", "left_anti"
+        )
+        w_href = Window.partitionBy("href").orderBy("parent_order", "link_pos")
+        adm = adm.withColumn("_rn", F.row_number().over(w_href)).filter(
+            F.col("_rn") == 1
+        ).drop("_rn")
+        # discovery_order continues monotonically from the global max
+        max_order = (
+            frontier.agg(F.max("discovery_order")).collect()[0][0] or 0
+        )
+        adm = assign_global_order(
+            adm, ["parent_order", "link_pos"], "discovery_order",
+            start=max_order + 1,
+        )
+        admitted = adm.select(
+            F.col("href").alias("raw_url"),
+            "discovery_order",
+            (F.col("parent_depth") + 1).alias("depth"),
+        )
+
+        new_frontier = deferred.unionByName(admitted)
+
+        # ---- commit -------------------------------------------------------
+        pages_out = pages.select(
+            "full_url", "host", F.lit(wave).alias("wave"), "discovery_order",
+            "eff_status", "error_code", "spans",
+        )
+        self.frontier = new_frontier.localCheckpoint(eager=True)
+        self.visited = visited2
+        self.pages = (
+            pages_out if self.pages is None
+            else self.pages.unionByName(pages_out)
+        ).localCheckpoint(eager=True)
+        self.links = (
+            links_out if self.links is None
+            else self.links.unionByName(links_out)
+        ).localCheckpoint(eager=True)
+        self.visited_counter += n_fetched
+        n_admitted = self.frontier.count()
+        wall = time.time() - t0
+        n_errors = pages_out.filter(F.col("error_code").isNotNull()).count()
+        metrics = {
+            "wave": wave, "fetched": n_fetched, "errors": n_errors,
+            "admitted": n_admitted, "wall_ms": int(wall * 1000),
+            "visited_total": self.visited_counter, "stopped": False,
+        }
+        self.metrics_rows.append(metrics)
+        if self.store:
+            self._commit_snapshot(metrics)
+        self.wave += 1
+        return metrics
+
+    # -- fetch + process -----------------------------------------------------
+
+    def _fetch(self, fetch_set: DataFrame) -> DataFrame:
+        """Synthetic fetch: resolve wave URLs against the web table.
+        Unknown URL → 404 (throw-on-bad-status path). Redirect-follow
+        mode chases Location chains with bounded iterative joins."""
+        web = self.web_df.drop("host")
+        if self.broadcast_web is not False:
+            web = F.broadcast(web)
+        j = fetch_set.join(web, fetch_set.full_url == web.url, "left").drop("url")
+        j = j.withColumn("eff_status", F.coalesce(F.col("status"), F.lit(404)))
+
+        if not self.cfg.disable_redirects:
+            # follow 301/302 chains (bounded 5 hops; cycle/overflow → 404
+            # like the model's chain guard): resolve Location against the
+            # request origin (absolute or site-relative Location styles),
+            # re-join, keep original full_url identity
+            for _ in range(5):
+                if j.filter(F.col("eff_status").isin(301, 302)).isEmpty():
+                    break
+                red = F.col("eff_status").isin(301, 302)
+                j = j.withColumn(
+                    "_next",
+                    F.when(
+                        red,
+                        F.when(
+                            F.col("redirect_location").rlike("^https?://"),
+                            F.col("redirect_location"),
+                        ).otherwise(
+                            F.concat(
+                                F.regexp_extract(
+                                    F.col("full_url"), r"^(https?://[^/?#]*)", 1
+                                ),
+                                F.col("redirect_location"),
+                            )
+                        ),
+                    ),
+                )
+                web2 = self.web_df.select(
+                    F.col("url").alias("_next"),
+                    F.col("status").alias("n_status"),
+                    F.col("content_type").alias("n_ct"),
+                    F.col("redirect_location").alias("n_redir"),
+                    F.col("empty_body").alias("n_empty"),
+                    F.col("spans").alias("n_spans"),
+                    F.col("html").alias("n_html"),
+                )
+                j = (
+                    j.join(F.broadcast(web2), "_next", "left")
+                    .withColumn(
+                        "eff_status",
+                        F.when(red, F.coalesce(F.col("n_status"), F.lit(404)))
+                        .otherwise(F.col("eff_status")),
+                    )
+                    .withColumn(
+                        "content_type",
+                        F.when(red, F.col("n_ct")).otherwise(F.col("content_type")),
+                    )
+                    .withColumn(
+                        "redirect_location",
+                        F.when(red, F.col("n_redir")).otherwise(
+                            F.col("redirect_location")
+                        ),
+                    )
+                    .withColumn(
+                        "empty_body",
+                        F.when(red, F.col("n_empty")).otherwise(F.col("empty_body")),
+                    )
+                    .withColumn(
+                        "spans", F.when(red, F.col("n_spans")).otherwise(F.col("spans"))
+                    )
+                    .withColumn(
+                        "html", F.when(red, F.col("n_html")).otherwise(F.col("html"))
+                    )
+                    .drop("_next", "n_status", "n_ct", "n_redir", "n_empty",
+                          "n_spans", "n_html")
+                )
+            # unresolved after the hop budget (cycle or long chain) → 404
+            j = j.withColumn(
+                "eff_status",
+                F.when(
+                    F.col("eff_status").isin(301, 302), F.lit(404)
+                ).otherwise(F.col("eff_status")),
+            )
+
+        spans_col = (
+            parse_html_udf(F.col("html")) if self.use_html else F.col("spans")
+        )
+        is_redirect_err = F.col("eff_status").isin(301, 302) & F.lit(
+            self.cfg.disable_redirects
+        )
+        is_error = (F.col("eff_status") >= 400) | is_redirect_err
+        is_gone = ~is_error & F.coalesce(F.col("empty_body"), F.lit(False))
+        is_nonhtml = (
+            ~is_error & ~is_gone
+            & ~F.coalesce(F.col("content_type"), F.lit("")).startswith("text/html")
+        )
+        is_success = ~is_error & ~is_gone & ~is_nonhtml
+        return j.select(
+            "full_url", "host", "discovery_order", "depth", "eff_status",
+            "redirect_location",
+            F.when(is_error, F.col("eff_status"))
+            .when(is_gone, F.lit(410))
+            .alias("error_code"),
+            F.when(is_success, spans_col).alias("spans"),
+            is_redirect_err.alias("is_redirect_err"),
+        )
+
+    def _extract_candidates(self, pages: DataFrame):
+        """ProcessPage link pipeline (ProcessPage.java:203-267) + redirect
+        targets (:368-379). Returns (candidates, links_out)."""
+        cfg = self.cfg
+        success = pages.filter(F.col("spans").isNotNull()).select(
+            F.col("full_url"), F.col("discovery_order").alias("parent_order"),
+            F.col("depth").alias("parent_depth"), "spans",
+        )
+        raw = explode_outlinks(success, "spans")
+        raw = raw.filter(F.col("raw_href") != "")  # isEmpty skip (:222-224)
+
+        base, sec = cfg.base_url, cfg.base_url_secure
+        n_sec = K.normalize2(F.col("raw_href"), sec)
+        n_base = K.normalize2(F.col("raw_href"), base)
+        if sec is not None:
+            href = F.when(F.col("full_url").startswith(sec), n_sec).otherwise(n_base)
+        else:
+            href = n_base
+        raw = raw.withColumn("href", href)
+        if cfg.make_relative_url_absolute:
+            from sitecrawler_spark.crawl.fetcher import urljoin_udf
+
+            need = (
+                ~F.col("href").startswith("http") & ~F.col("href").contains("://")
+            )
+            if sec is not None:
+                need = need & ~F.col("full_url").startswith(sec)
+            raw = raw.withColumn(
+                "href",
+                F.when(need, urljoin_udf(F.col("full_url"), F.col("href"))).otherwise(
+                    F.col("href")
+                ),
+            )
+        if cfg.ignore_query_params:
+            raw = raw.withColumn("href", F.substring_index(F.col("href"), "?", 1))
+
+        # per-page dedup keep-first (:252-255)
+        w_page = Window.partitionBy("full_url", "href").orderBy("link_pos")
+        raw = raw.withColumn("_rn", F.row_number().over(w_page)).filter(
+            F.col("_rn") == 1
+        ).drop("_rn")
+
+        links_out = raw.select(
+            F.col("full_url").alias("src"), F.col("href").alias("dst"),
+            F.lit("link").alias("kind"), F.lit(self.wave).alias("wave"),
+        )
+
+        cand = raw.select("href", "parent_order", "parent_depth", "link_pos")
+
+        # redirect targets (disable_redirects mode): Location normalized
+        # against baseUrl — NOT baseUrlSecure (ProcessPage.java:369)
+        red = pages.filter(
+            F.col("is_redirect_err") & F.col("redirect_location").isNotNull()
+        ).select(
+            K.normalize2(F.col("redirect_location"), cfg.base_url).alias("href"),
+            F.col("discovery_order").alias("parent_order"),
+            F.col("depth").alias("parent_depth"),
+            F.lit(-1).cast("long").alias("link_pos"),
+        )
+        # redirect edges union into links for the referrer graph
+        # (ProcessPage.java:373-376)
+        pages_red = pages.filter(F.col("is_redirect_err")).select(
+            F.col("full_url").alias("src"),
+            K.normalize2(F.col("redirect_location"), cfg.base_url).alias("dst"),
+            F.lit("redirect").alias("kind"), F.lit(self.wave).alias("wave"),
+        )
+        return cand.unionByName(red), links_out.unionByName(pages_red)
+
+    # -- crawl loop ----------------------------------------------------------
+
+    def crawl(
+        self, seed_paths: list[str] | None = None, max_waves: int = 1000
+    ) -> dict:
+        if self.frontier is None:
+            self.seed(seed_paths)
+        for _ in range(max_waves):
+            if self.cfg.short_circuit_after != 0 and (
+                self.visited_counter > self.cfg.short_circuit_after
+            ):
+                break
+            m = self.run_wave()
+            if m.get("stopped") or m["admitted"] == 0 and m["fetched"] == 0:
+                break
+            if self.frontier.isEmpty():
+                break
+        return {
+            "waves": self.wave,
+            "visited_total": self.visited_counter,
+            "metrics": self.metrics_rows,
+        }
+
+    # -- results -------------------------------------------------------------
+
+    def visit_order_df(self) -> DataFrame:
+        """Realized fetch order: (wave, discovery_order). Without
+        politeness/wave caps this equals discovery_order — the
+        single-consumer FIFO order (SURVEY.md §3.4)."""
+        if self.pages is None:  # crawl never fetched anything
+            return self.spark.createDataFrame(
+                [],
+                "full_url string, wave int, discovery_order long, "
+                "eff_status int, error_code int",
+            )
+        return self.pages.orderBy("wave", "discovery_order").select(
+            "full_url", "wave", "discovery_order", "eff_status", "error_code"
+        )
+
+    def visited_df(self) -> DataFrame:
+        return self.visited
+
+    # -- checkpointing -------------------------------------------------------
+
+    def _commit_snapshot(self, metrics: dict) -> None:
+        import pandas as pd
+
+        mdf = self.spark.createDataFrame(pd.DataFrame([metrics]))
+        wave_pages = self.pages.filter(F.col("wave") == self.wave)
+        wave_links = self.links.filter(F.col("wave") == self.wave)
+        self.store.commit(
+            self.wave,
+            {
+                "frontier": self.frontier,
+                "visited": self.visited,
+                "pages": wave_pages,
+                "links": wave_links,
+                "metrics": mdf,
+            },
+            meta={
+                "wave": self.wave,
+                "visited_counter": self.visited_counter,
+                "config": {"short_circuit_after": self.cfg.short_circuit_after},
+            },
+            repartition={
+                "frontier": [F.pmod(F.xxhash64("raw_url"), F.lit(self.cfg.host_buckets))],
+                "visited": [F.pmod(F.xxhash64("s"), F.lit(self.cfg.host_buckets))],
+            },
+        )
+
+    def resume(self) -> None:
+        """Resume from the latest snapshot (hardPause/reset analog,
+        SiteCrawler.java:412-430)."""
+        m = self.store.latest()
+        if m is None:
+            raise ValueError("no snapshot to resume from")
+        self.frontier = self.store.read(self.spark, "frontier")
+        self.visited = self.store.read(self.spark, "visited")
+        self.pages = self.store.read(self.spark, "pages")
+        self.links = self.store.read(self.spark, "links")
+        self.wave = m["meta"]["wave"] + 1
+        self.visited_counter = m["meta"]["visited_counter"]

@@ -1,0 +1,207 @@
+"""Deterministic synthetic-site generator (seed-stable, no network).
+
+Produces the "web" a crawl resolves against: one row per fetchable URL
+with the interleaved span document (BASELINE input_hint shape), the
+rendered HTML body (for exercising the parse kernel), and fetch-
+simulation columns (status / content_type / redirect_location /
+empty_body — FIXTURES.md §1 companion columns).
+
+The link mix deliberately covers every branch of the reference's href
+pipeline: absolute http/https, site-relative, path-relative,
+protocol-relative, mailto:/tel:/javascript:/#fragment, query params,
+disallowed suffixes, blocked paths, /index.jsp, off-site, duplicate
+links, blank anchors, and blank iframe srcs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import types as T
+
+from sitecrawler_spark.crawl.parse import SPAN_ARRAY, render_spans_to_html
+
+WEB_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("redirect_location", T.StringType()),
+        T.StructField("empty_body", T.BooleanType()),
+        T.StructField("spans", SPAN_ARRAY),
+        T.StructField("html", T.StringType()),
+    ]
+)
+
+_SUFFIXES = [".html", "/", ".htm", ".jsp", ".html", "/", ".html", ".php"]
+_WORDS = (
+    "cloud crm sales service marketing analytics platform data app api "
+    "trail head customer success partner developer admin flow einstein"
+).split()
+
+
+def _page_path(i: int, rng: random.Random) -> str:
+    suffix = _SUFFIXES[i % len(_SUFFIXES)]
+    word = _WORDS[i % len(_WORDS)]
+    if suffix == "/":
+        return f"/{word}/p{i}/"
+    return f"/{word}/p{i}{suffix}"
+
+
+def generate_site(
+    n_pages: int = 40,
+    hosts: tuple[str, ...] = ("www.salesforce.com",),
+    seed: int = 42,
+    links_per_page: int = 6,
+    scheme: str = "https",
+) -> list[dict]:
+    """Returns web rows (dicts matching WEB_SCHEMA ordering)."""
+    rng = random.Random(seed)
+    paths = [_page_path(i, rng) for i in range(n_pages)]
+    page_host = [hosts[i % len(hosts)] for i in range(n_pages)]
+    urls = [f"{scheme}://{page_host[i]}{paths[i]}" for i in range(n_pages)]
+
+    rows: list[dict] = []
+    for i in range(n_pages):
+        r = rng.random()
+        status, ctype, redirect, empty = 200, "text/html", None, False
+        if i > 2:  # keep the first pages healthy so crawls get going
+            if r < 0.06:
+                status = rng.choice([404, 403, 500])
+            elif r < 0.10:
+                status = rng.choice([301, 302])
+                tgt = urls[(i * 7 + 3) % n_pages]
+                # Location header styles: absolute or site-relative
+                redirect = tgt if rng.random() < 0.7 else paths[(i * 7 + 3) % n_pages]
+            elif r < 0.13:
+                empty = True  # → 410 path (ProcessPage.java:182-185)
+            elif r < 0.16:
+                ctype = rng.choice(["application/pdf", "text/plain"])
+
+        spans: list[dict] = []
+        off = 0
+
+        def add(kind, text=None, media_ref=None):
+            nonlocal off
+            spans.append(
+                {"kind": kind, "text": text, "media_ref": media_ref, "offset": off}
+            )
+            off += 1
+
+        add("text", text=f"Page {i} about {_WORDS[i % len(_WORDS)]}")
+        if i % 5 == 0:
+            add("iframe", media_ref=urls[(i * 3 + 1) % n_pages])
+        if i % 11 == 7:
+            add("iframe", media_ref=" ")  # whitespace src: survives isEmpty
+        if i % 13 == 9:
+            add("iframe", media_ref="")  # empty src: dropped by isEmpty
+        for j in range(links_per_page):
+            k = (i * links_per_page + j * 5 + 1) % n_pages
+            style = (i + j) % 10
+            if style < 4:
+                add("anchor", text=urls[k])  # absolute
+            elif style < 6:
+                add("anchor", text=paths[k])  # site-relative
+            elif style == 6:
+                add("anchor", text=paths[k].lstrip("/"))  # path-relative
+            elif style == 7:
+                add("anchor", text=f"//{page_host[k]}{paths[k]}")  # protocol-relative
+            elif style == 8:
+                add("anchor", text=f"{paths[k]}?a=b&c=d&e=f")  # query params
+            else:
+                add("anchor", text=urls[k] + "#section")  # fragment
+            if j == 2:
+                add("text", text=f"filler {i}-{j}")
+        # noise links exercising filters
+        if i % 4 == 0:
+            add("anchor", text="mailto:info@salesforce.com")
+            add("anchor", text="javascript:void(0)")
+        if i % 4 == 1:
+            add("anchor", text="tel:+1-800-NO-SOFTWARE")
+            add("anchor", text="#top")
+        if i % 4 == 2:
+            add("anchor", text="https://external.example.org/out.html")
+            add("anchor", text=f"/assets/logo{i}.pdf")  # disallowed suffix
+        if i % 4 == 3:
+            add("anchor", text=f"/logout/session{i}.html")  # blocked pattern
+            add("anchor", text="   ")  # blank anchor: dropped at collection
+        if i % 6 == 5:
+            add("anchor", text=f"{paths[i]}../p{(i + 1) % n_pages}.html")
+        if i % 7 == 3:
+            add("anchor", text="/sub/index.jsp")  # /index.jsp normalize
+        add("media", media_ref=f"/img/banner{i}.png")
+        add("text", text=f"footer {i}")
+
+        html = None if empty else render_spans_to_html(spans, title=f"p{i}")
+        rows.append(
+            {
+                "url": urls[i],
+                "host": page_host[i],
+                "status": status,
+                "content_type": ctype,
+                "redirect_location": redirect,
+                "empty_body": empty,
+                "spans": spans,
+                "html": "" if empty else html,
+            }
+        )
+
+    # root index page per host ("{scheme}://{host}/") linking to the first
+    # pages on that host — lets default-seed crawls (navigate() seeding
+    # baseUrl, SiteCrawler.java:621-628) start from a trailing-slash base
+    for h in hosts:
+        spans, off = [], 0
+        spans.append({"kind": "text", "text": f"index of {h}", "media_ref": None,
+                      "offset": 0})
+        off = 1
+        for i in range(n_pages):
+            if page_host[i] == h and off <= 5:
+                spans.append({"kind": "anchor", "text": paths[i],
+                              "media_ref": None, "offset": off})
+                off += 1
+        rows.append(
+            {
+                "url": f"{scheme}://{h}/",
+                "host": h,
+                "status": 200,
+                "content_type": "text/html",
+                "redirect_location": None,
+                "empty_body": False,
+                "spans": spans,
+                "html": render_spans_to_html(spans, title=h),
+            }
+        )
+    return rows
+
+
+def site_to_df(spark, rows: list[dict]):
+    return spark.createDataFrame(
+        [
+            (
+                r["url"],
+                r["host"],
+                r["status"],
+                r["content_type"],
+                r["redirect_location"],
+                r["empty_body"],
+                [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in r["spans"]
+                ],
+                r["html"],
+            )
+            for r in rows
+        ],
+        WEB_SCHEMA,
+    )
+
+
+def seeds_for(rows: list[dict], n: int = 2) -> list[str]:
+    """Seed list: site-relative paths of the first n pages, mirroring
+    setIncludePath's path-style input (SiteCrawler.java:437-448)."""
+    out = []
+    for r in rows[:n]:
+        u = r["url"]
+        out.append(u[u.index("/", u.index("://") + 3) :])
+    return out

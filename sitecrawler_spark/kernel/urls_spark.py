@@ -80,14 +80,29 @@ def clean_url(
     """
     allowed_parameters = allowed_parameters or []
 
-    ok1, _h1, path1, _q1 = _parse(c)
+    # Single parse + analytic strip: re-parsing url[:-1] (the
+    # reference's whole-string truncation, URLCleaner.java:66) only ever
+    # changes one component — the fragment if '#' is present (never
+    # emitted), else the query's last char if '?' is present, else the
+    # path's last char. Avoids quadratic expression blowup from a
+    # second _parse over a conditional of the first.
+    ok, host, path, query = _parse(c)
     strip = (
-        path1.endswith("/") & ~path1.contains(".")
+        path.endswith("/") & ~path.contains(".")
         if url_path_should_not_end_in_slash
         else F.lit(False)
     )
-    u2 = F.when(strip, c.substr(F.lit(1), F.length(c) - F.lit(1))).otherwise(c)
-    ok, host, path, query = _parse(u2)
+    has_hash = c.contains("#")
+    has_q = query.isNotNull()
+    path = F.when(
+        strip & ~has_hash & ~has_q, path.substr(F.lit(1), F.length(path) - F.lit(1))
+    ).otherwise(path)
+    query = F.when(
+        strip & ~has_hash & has_q,
+        F.when(query == "", F.lit(None)).otherwise(
+            query.substr(F.lit(1), F.length(query) - F.lit(1))
+        ),
+    ).otherwise(query)
 
     hostpath = F.concat(host, path)
     if allowed_parameters:
@@ -104,7 +119,7 @@ def clean_url(
         ).otherwise(hostpath)
     else:
         with_q = hostpath
-    return F.when(ok1 & ok, with_q)  # else null ≙ MalformedURLException
+    return F.when(ok, with_q)  # else null ≙ MalformedURLException
 
 
 def url_host(c: Column) -> Column:

@@ -1,0 +1,52 @@
+"""Scalable global-order assignment (FIFO discovery_order).
+
+The crawl needs a total enqueue order (SURVEY.md §3.4: discovery_order
+reproduces the reference's single-consumer FIFO at any parallelism).
+A naive ``row_number() OVER (ORDER BY ...)`` collapses to ONE partition
+— a non-starter at 10^10 rows. Instead: range-partition on the sort
+key, rank within partitions, and add per-partition offsets (computed
+from a tiny per-partition count collected to the driver). This is the
+zipWithIndex pattern expressed natively — no Python per row, shuffle
+bounded by the range partitioner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_global_order(
+    df: DataFrame,
+    sort_cols: list[str],
+    out_col: str = "discovery_order",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Adds ``out_col`` = start + 0-based rank of the row in the total
+    order defined by ``sort_cols`` (which must be tie-free)."""
+    if df.isEmpty():
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *sort_cols)
+    # pin partition ids before using them twice (window + count pass)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    local = with_pid.withColumn("_lrank", F.row_number().over(w))
+    counts = {r["_pid"]: r["cnt"] for r in
+              with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return (
+        local.withColumn(
+            out_col, (off_map[F.col("_pid")] + F.col("_lrank") - 1).cast("long")
+        )
+        .drop("_pid", "_lrank")
+    )

@@ -1,0 +1,279 @@
+"""Driver-contract queries: one per operator family (SURVEY.md §2).
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose
+columns/aliases match the DuckDB oracle SQL in ``oracles.py`` exactly
+(the driver hash-compares values column-name-sorted).
+
+The crawl-kernel queries run over a URL corpus derived DETERMINISTICALLY
+from the driver's ``documents`` table (same derivation SQL in both
+engines), then apply the engine's native operators — so the oracle is a
+genuinely independent SQL re-implementation of the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sitecrawler_spark.config import CrawlerConfig
+from sitecrawler_spark.kernel import urls_spark as K
+from sitecrawler_spark.operators.graph import referrer_sets
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# Deterministic URL corpus derivation — VALID IN BOTH Spark SQL and
+# DuckDB; keep dialect-neutral (concat, CASE, %, no casts).
+URLS_SQL = """
+SELECT doc_id, lang, source, text,
+  concat(
+    CASE WHEN doc_id % 11 = 0 THEN 'https://external.example.org'
+         WHEN doc_id % 2 = 0 THEN 'https://www.salesforce.com'
+         ELSE 'http://www.salesforce.com' END,
+    CASE WHEN doc_id % 13 = 0 THEN '/logout' ELSE '' END,
+    '/', source, '/doc', doc_id,
+    CASE doc_id % 5 WHEN 0 THEN '.html' WHEN 1 THEN '/' WHEN 2 THEN '.jsp'
+         WHEN 3 THEN '.php' ELSE '.htm' END,
+    CASE WHEN doc_id % 7 = 0 THEN concat('?a=', doc_id % 3, '&c=d&e=f')
+         WHEN doc_id % 7 = 1 THEN '?x=1' ELSE '' END
+  ) AS url
+FROM documents
+"""
+
+# href corpus for the normalize kernel — covers every branch of
+# URLNormalizer.java:49-60 reachable through the 2-arg path
+HREFS_SQL = """
+SELECT doc_id,
+  CASE doc_id % 8
+    WHEN 0 THEN concat('/', source, '/doc', doc_id, '.html')
+    WHEN 1 THEN concat('  /pad/doc', doc_id, '.html  ')
+    WHEN 2 THEN concat('http://www.salesforce.com/', source, '/abs', doc_id, '.htm')
+    WHEN 3 THEN concat('/', source, '/index.jsp')
+    WHEN 4 THEN concat('//cdn.example.org/w', doc_id, '.html')
+    WHEN 5 THEN 'mailto:x@y.com'
+    WHEN 6 THEN concat('rel/doc', doc_id, '.html')
+    ELSE concat('/q', doc_id, '/index.jsp/x/index.jsp')
+  END AS href
+FROM documents
+"""
+
+CFG = CrawlerConfig(
+    base_url="http://www.salesforce.com",
+    base_url_secure="https://www.salesforce.com",
+    blocked=["/logout"],
+)
+ALLOWED_PARAMS = ["a"]
+NORM_BASE = "https://www.salesforce.com"
+POLITENESS_K = 3
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(URLS_SQL)
+
+
+# --------------------------------------------------------------------------
+# crawl-kernel queries
+# --------------------------------------------------------------------------
+
+def q_admission_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-F1/F2/F4/F5: static admission predicate (SiteCrawler.java:1152-1217)."""
+    return (
+        _urls(spark, sf_dir)
+        .filter(K.admitted_static(F.col("url"), CFG))
+        .select("doc_id", "url")
+    )
+
+
+def q_url_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-P4: URLCleaner.getCleanedUrl with param whitelist (URLCleaner.java:58-108)."""
+    return _urls(spark, sf_dir).select(
+        "doc_id", "url",
+        K.clean_url(F.col("url"), ALLOWED_PARAMS, True).alias("url_clean"),
+    )
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-P3: URLNormalizer.normalize 2-arg (URLNormalizer.java:49-60)."""
+    register_views(spark, sf_dir)
+    return spark.sql(HREFS_SQL).select(
+        "doc_id", "href",
+        K.normalize2(F.col("href"), NORM_BASE).alias("url_norm"),
+    )
+
+
+def q_prepend_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prependBaseUrlIfNeeded (SiteCrawler.java:1120-1141)."""
+    register_views(spark, sf_dir)
+    return spark.sql(HREFS_SQL).select(
+        "doc_id", "href",
+        K.prepend_base_if_needed(
+            F.col("href"), CFG.base_url, CFG.base_url_secure
+        ).alias("full_url"),
+    )
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-F3/F6: seen-set anti-join on exact AND cleaned form
+    (SiteCrawler.java:1204-1224). Visited = every 3rd doc's url + clean."""
+    urls = _urls(spark, sf_dir)
+    clean = K.clean_url(F.col("url"), ALLOWED_PARAMS, True)
+    visited = (
+        urls.filter(F.col("doc_id") % 3 == 0)
+        .select(F.col("url").alias("s"))
+        .unionByName(
+            urls.filter(F.col("doc_id") % 3 == 0)
+            .select(clean.alias("s"))
+            .filter(F.col("s").isNotNull())
+        )
+    )
+    cand = urls.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "url", clean.alias("url_clean")
+    )
+    out = cand.join(visited, cand.url == visited.s, "left_anti")
+    out = out.join(visited, out.url_clean == visited.s, "left_anti")
+    return out.select("doc_id", "url")
+
+
+def q_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-F7 within-wave dedup: keep earliest discovery_order per cleaned
+    form (sequential-dequeue emulation, engine.run_wave)."""
+    urls = _urls(spark, sf_dir).select(
+        "doc_id", "url", K.clean_url(F.col("url"), [], True).alias("url_clean")
+    )
+    key = F.coalesce(F.col("url_clean"), F.concat(F.lit("RAW:"), F.col("url")))
+    w = Window.partitionBy(key).orderBy("doc_id")
+    return (
+        urls.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "url")
+    )
+
+
+def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness budget: first K per host by discovery order
+    (engine.run_wave politeness window; north rule)."""
+    urls = _urls(spark, sf_dir).withColumn("host", K.url_host(F.col("url")))
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        urls.withColumn("hrn", F.row_number().over(w))
+        .filter(F.col("hrn") <= POLITENESS_K)
+        .select("doc_id", "url", "host", "hrn")
+    )
+
+
+def q_referrer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 urlFrom view: dst → sorted referrer set (ProcessPage.java:93,257-263)."""
+    urls = _urls(spark, sf_dir).select("doc_id", "url")
+    n = urls.agg(F.max("doc_id") + 1).collect()[0][0]
+    e1 = urls.alias("a").join(
+        urls.alias("b"), F.col("b.doc_id") == (F.col("a.doc_id") * 7 + 3) % F.lit(n)
+    ).select(F.col("a.url").alias("src"), F.col("b.url").alias("dst"))
+    e2 = urls.alias("a").join(
+        urls.alias("b"), F.col("b.doc_id") == (F.col("a.doc_id") * 3 + 1) % F.lit(n)
+    ).select(F.col("a.url").alias("src"), F.col("b.url").alias("dst"))
+    return referrer_sets(e1.unionByName(e2))
+
+
+def q_suffix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-F2 in isolation: per-suffix admitted counts."""
+    urls = _urls(spark, sf_dir)
+    suffix = F.lower(F.substring_index(F.col("url"), "?", 1))
+    ok = F.lit(False)
+    for s in CFG.allowed_suffixes:
+        ok = ok | suffix.endswith(s)
+    return (
+        urls.withColumn("admitted", ok)
+        .groupBy("admitted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_error_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-E2/E3 error-code mapping (SiteCrawlerErrorCodes.java:15-32,
+    ProcessPage.java:154-193): status/empty/content-type → error_code."""
+    urls = _urls(spark, sf_dir)
+    status = F.element_at(
+        F.array(*[F.lit(x) for x in [200, 301, 302, 403, 404, 410, 500, 200, 200]]),
+        (F.col("doc_id") % 9 + 1).cast("int"),
+    )
+    empty = F.col("doc_id") % 10 == 9
+    ctype = F.when(F.col("doc_id") % 12 == 11, F.lit("application/pdf")).otherwise(
+        F.lit("text/html")
+    )
+    is_error = status >= 400
+    is_redirect = (status > 300) & (status < 303)
+    code = (
+        F.when(is_error | is_redirect, status)
+        .when(empty, F.lit(410))
+        .when(~ctype.startswith("text/html"), F.lit(None))
+        .otherwise(F.lit(None))
+    )
+    return (
+        urls.select(F.col("doc_id"), code.alias("error_code"))
+        .groupBy("error_code")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# analytics breadth (joins / aggs / windows over the driver tables)
+# --------------------------------------------------------------------------
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS hour,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# end-to-end crawl (non-SQL-expressible → rows-only check)
+# --------------------------------------------------------------------------
+
+def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full micro-wave crawl of the deterministic synthetic site; returns
+    the realized visit order. No SQL oracle (iterative cyclic dataflow);
+    parity vs the single-threaded reference model is enforced in
+    tests/test_crawl_e2e.py."""
+    from sitecrawler_spark.crawl import sitegen
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+
+    rows = sitegen.generate_site(n_pages=30, seed=42)
+    cfg = CrawlerConfig(
+        base_url="http://www.salesforce.com",
+        base_url_secure="https://www.salesforce.com",
+        disable_redirects=True, blocked=["/logout"],
+    )
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, rows))
+    eng.crawl(sitegen.seeds_for(rows, 2), max_waves=40)
+    return eng.visit_order_df()

@@ -1,0 +1,119 @@
+"""Snapshot-versioned parquet state tables (Iceberg-shaped).
+
+The engine's crawl state (frontier / visited / pages / links / metrics)
+commits once per wave as an atomic snapshot: data files are written
+first, then a manifest JSON is atomically renamed into place
+(os.replace). Resume = read the latest manifest and continue the wave
+loop — the micro-batch analog of the reference's hardPause/reset
+lifecycle (SiteCrawler.java:412-430,798-801), with per-partition
+lineage carried in the metrics table.
+
+On a cluster this layer swaps for real Iceberg (`writeTo(...).append()`
++ snapshot ids) without touching engine logic — the interface is
+"commit(wave, {table: DataFrame})" / "latest()". Parquet + manifest
+gives the same atomic-visibility property locally: a torn write leaves
+a stale manifest, never a half-visible snapshot.
+
+Overwrite-tables (frontier, visited) rewrite per wave; append-tables
+(pages, links, metrics) add a part per wave and the manifest lists all
+live parts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+OVERWRITE = "overwrite"
+APPEND = "append"
+
+
+class SnapshotStore:
+    def __init__(self, root: str, tables: dict[str, str]):
+        """tables: name -> OVERWRITE | APPEND"""
+        self.root = root
+        self.tables = tables
+        os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
+
+    # -- manifest handling ---------------------------------------------------
+
+    def _manifest_path(self, snap_id: int) -> str:
+        return os.path.join(self.root, "_snapshots", f"{snap_id:08d}.json")
+
+    def latest(self) -> dict | None:
+        snaps = sorted(os.listdir(os.path.join(self.root, "_snapshots")))
+        if not snaps:
+            return None
+        with open(os.path.join(self.root, "_snapshots", snaps[-1])) as f:
+            return json.load(f)
+
+    def commit(
+        self,
+        snap_id: int,
+        dfs: dict[str, DataFrame],
+        meta: dict | None = None,
+        repartition: dict[str, list] | None = None,
+    ) -> dict:
+        """Write data files for this snapshot, then atomically publish
+        the manifest. ``repartition[name]`` optionally names columns to
+        hash-partition the written files by (bucket(host) analog)."""
+        prev = self.latest()
+        manifest: dict = {
+            "snapshot": snap_id,
+            "ts": time.time(),
+            "tables": dict(prev["tables"]) if prev else {n: [] for n in self.tables},
+            "meta": meta or {},
+        }
+        for name, df in dfs.items():
+            mode = self.tables[name]
+            part_dir = os.path.join(self.root, name, f"s{snap_id:08d}")
+            writer = df
+            if repartition and name in repartition:
+                writer = df.repartition(*repartition[name])
+            writer.write.mode("overwrite").parquet(part_dir)
+            if mode == OVERWRITE:
+                manifest["tables"][name] = [part_dir]
+            else:
+                manifest["tables"][name] = manifest["tables"].get(name, []) + [part_dir]
+        tmp = self._manifest_path(snap_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(snap_id))
+        return manifest
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame | None:
+        m = self.latest()
+        if not m or not m["tables"].get(name):
+            return None
+        return spark.read.parquet(*m["tables"][name])
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
+
+    def expire_snapshots(self, keep: int = 2) -> None:
+        """Drop manifests and data parts not referenced by the newest
+        ``keep`` snapshots (Iceberg expire_snapshots analog)."""
+        snap_dir = os.path.join(self.root, "_snapshots")
+        snaps = sorted(os.listdir(snap_dir))
+        if len(snaps) <= keep:
+            return
+        live: set[str] = set()
+        for s in snaps[-keep:]:
+            with open(os.path.join(snap_dir, s)) as f:
+                m = json.load(f)
+            for parts in m["tables"].values():
+                live.update(parts)
+        for s in snaps[:-keep]:
+            os.remove(os.path.join(snap_dir, s))
+        for name in self.tables:
+            tdir = os.path.join(self.root, name)
+            if not os.path.isdir(tdir):
+                continue
+            for part in os.listdir(tdir):
+                p = os.path.join(tdir, part)
+                if p not in live:
+                    shutil.rmtree(p, ignore_errors=True)
