@@ -68,6 +68,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_error_dispatch": _queries.q_error_dispatch,
         "q_lineitem_pricing": _queries.q_lineitem_pricing,
         "q_events_hourly": _queries.q_events_hourly,
+        "q_events_sessionize": _queries.q_events_sessionize,
+        "q_token_counts": _queries.q_token_counts,
+        "q_quality_score": _queries.q_quality_score,
+        "q_lang_id": _queries.q_lang_id,
+        "q_fingerprint": _queries.q_fingerprint,
+        "q_exact_dedup": _queries.q_exact_dedup,
+        "q_minhash_signature": _queries.q_minhash_signature,
+        "q_minhash_pairs": _queries.q_minhash_pairs,
+        "q_simhash": _queries.q_simhash,
+        "q_ngram_jaccard": _queries.q_ngram_jaccard,
+        "q_ann_bruteforce": _queries.q_ann_bruteforce,
+        "q_ann_lsh": _queries.q_ann_lsh,
         "q_crawl_e2e": _queries.q_crawl_e2e,
     }
 

@@ -74,6 +74,19 @@ class CrawlerConfig:
     host_buckets: int = 8                 # bucket(host) partitioning of state tables
     robots_rules: list[RobotsRule] = field(default_factory=list)
 
+    # Seen-filter prefilter layer (north rule: bloom; cuckoo when
+    # deletion is needed). The exact visited table is ALWAYS the
+    # backstop — filters only cut the anti-join shuffle.
+    seen_filter: str | None = None        # None | "bloom" | "cuckoo"
+    seen_filter_expected_n: int = 1_000_000
+    seen_filter_fpp: float = 0.01
+
+    # Cross-wave retry re-admission of transient fetch errors (target-only;
+    # the reference retries only inside one blocking fetch,
+    # WebClientExtended.java:213-241). Requires deleting the failed URL
+    # from the seen set — hence the cuckoo option above.
+    retry_transient: bool = False
+
     def effective_base(self) -> str:
         """Base used by prependBaseUrlIfNeeded (SiteCrawler.java:1133-1138):
         baseUrlSecure preferred, then baseUrl."""

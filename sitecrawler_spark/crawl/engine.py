@@ -45,6 +45,7 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("raw_url", T.StringType(), False),
         T.StructField("discovery_order", T.LongType(), False),
         T.StructField("depth", T.IntegerType(), False),
+        T.StructField("retry_count", T.IntegerType(), False),
     ]
 )
 
@@ -82,14 +83,39 @@ class SparkSiteCrawler:
                     "metrics": APPEND,
                 },
             )
-        # in-memory state between waves (always mirrored to store if set)
+        self.seen = None  # bloom/cuckoo prefilter (operators/seen.py)
+        # in-memory state between waves (always mirrored to store if set).
+        # visited/pages/links accumulate as PER-WAVE checkpointed parts —
+        # a union re-materialized every wave would be O(history) work per
+        # wave (quadratic over the crawl); parts keep appends O(wave).
         self.frontier: DataFrame | None = None
-        self.visited: DataFrame | None = None
-        self.pages: DataFrame | None = None
-        self.links: DataFrame | None = None
+        self._visited_parts: list[DataFrame] = []
+        self._pages_parts: list[DataFrame] = []
+        self._links_parts: list[DataFrame] = []
         self.metrics_rows: list = []
         self.wave = 0
         self.visited_counter = 0
+
+    @staticmethod
+    def _union_parts(parts: list[DataFrame]) -> DataFrame | None:
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    @property
+    def visited(self) -> DataFrame | None:
+        return self._union_parts(self._visited_parts)
+
+    @property
+    def pages(self) -> DataFrame | None:
+        return self._union_parts(self._pages_parts)
+
+    @property
+    def links(self) -> DataFrame | None:
+        return self._union_parts(self._links_parts)
 
     # -- column helpers ------------------------------------------------------
 
@@ -97,9 +123,19 @@ class SparkSiteCrawler:
         return K.prepend_base_if_needed(c, self.cfg.base_url, self.cfg.base_url_secure)
 
     def _clean(self, c):
-        return K.clean_url(
-            c, self.cfg.allowed_parameters, self.cfg.url_path_should_not_end_in_slash
-        )
+        # Arrow UDF, not the native expression: inside the fused wave
+        # stages the native clean tree blows past Janino's 64KB method
+        # limit (compile-fail-then-fallback costs seconds per stage per
+        # wave). The Arrow path is the north-star canonicalize UDF and
+        # byte-identical to the native version (tests/test_url_kernel).
+        if not hasattr(self, "_clean_udf"):
+            from sitecrawler_spark.kernel.udfs import make_clean_udf
+
+            self._clean_udf = make_clean_udf(
+                self.cfg.allowed_parameters,
+                self.cfg.url_path_should_not_end_in_slash,
+            )
+        return self._clean_udf(c)
 
     # -- seeding -------------------------------------------------------------
 
@@ -121,17 +157,32 @@ class SparkSiteCrawler:
                 .drop("_rn")
             )
             df = assign_global_order(df, ["seed_order"], "discovery_order", start=0)
-            df = df.select("raw_url", "discovery_order", F.lit(0).alias("depth"))
+            df = df.select(
+                "raw_url", "discovery_order", F.lit(0).alias("depth"),
+                F.lit(0).alias("retry_count"),
+            )
             if df.isEmpty():
                 df = None
         if df is None:
             # default seed: baseUrl preferred, secure as fallback
             seed_url = cfg.base_url if cfg.base_url is not None else cfg.base_url_secure
-            df = spark.createDataFrame([(seed_url, 0, 0)], FRONTIER_SCHEMA)
+            df = spark.createDataFrame([(seed_url, 0, 0, 0)], FRONTIER_SCHEMA)
         self.frontier = df
-        self.visited = self.spark.createDataFrame([], "s string")
-        self.pages = None
-        self.links = None
+        self._visited_parts = [self.spark.createDataFrame([], "s string")]
+        if cfg.seen_filter == "bloom":
+            from sitecrawler_spark.operators.seen import SparkBloomFilter
+
+            self.seen = SparkBloomFilter.sized(
+                self.spark, cfg.seen_filter_expected_n, cfg.seen_filter_fpp
+            )
+        elif cfg.seen_filter == "cuckoo":
+            from sitecrawler_spark.operators.seen import SparkCuckooFilter
+
+            self.seen = SparkCuckooFilter.sized(
+                self.spark, cfg.seen_filter_expected_n
+            )
+        self._pages_parts = []
+        self._links_parts = []
         self.wave = 0
         self.visited_counter = 0
 
@@ -147,10 +198,12 @@ class SparkSiteCrawler:
         fr = frontier.withColumn("full_url", self._full_url(F.col("raw_url")))
 
         # ---- dequeue-time checks (SiteCrawler.java:1029,1042-1047,1204-1224)
+        from sitecrawler_spark.operators.seen import anti_join_seen
+
         ok = fr.filter(~K.is_excluded_static(F.col("full_url"), cfg))
-        ok = ok.join(visited, ok.full_url == visited.s, "left_anti")
+        ok = anti_join_seen(ok, "full_url", visited, "s", self.seen)
         ok = ok.withColumn("url_clean", self._clean(F.col("full_url")))
-        ok = ok.join(visited, ok.url_clean == visited.s, "left_anti")
+        ok = anti_join_seen(ok, "url_clean", visited, "s", self.seen)
         # within-wave sequential-dequeue emulation: keep earliest per
         # exact url, then earliest per clean form (null cleans exempt)
         w_url = Window.partitionBy("full_url").orderBy("discovery_order")
@@ -167,6 +220,9 @@ class SparkSiteCrawler:
 
         # ---- politeness budget (target-only; north rule) ------------------
         ok = ok.withColumn("host", K.url_host(F.col("full_url")))
+        # materialize the dequeue-check result once: politeness,
+        # deferred-frontier derivation, and admission all reuse it
+        ok = ok.localCheckpoint(eager=True)
         if cfg.politeness_budget > 0:
             w_host = Window.partitionBy("host").orderBy("discovery_order")
             ok = ok.withColumn("_hrn", F.row_number().over(w_host))
@@ -195,8 +251,12 @@ class SparkSiteCrawler:
             )
         )
         # duplicate rows are harmless to anti-joins, so no global distinct
-        # — only the (small) per-wave insert set is deduped
-        visited2 = visited.unionByName(inserts.distinct()).localCheckpoint(eager=True)
+        # — only the (small) per-wave insert set is deduped and
+        # checkpointed; the union over parts stays lazy
+        ins_part = inserts.distinct().localCheckpoint(eager=True)
+        visited2 = visited.unionByName(ins_part)
+        if self.seen is not None:
+            self.seen.add_df(ins_part, "s")
 
         # ---- fetch (join against synthetic web; miss → 404) ---------------
         pages = self._fetch(fetch_set).localCheckpoint(eager=True)
@@ -211,10 +271,12 @@ class SparkSiteCrawler:
             if cfg.politeness_budget > 0 or cfg.max_wave_size > 0 \
             or cfg.short_circuit_after != 0 else frontier.limit(0)
 
+        if not getattr(self, "_discover_urls", True):
+            cand = cand.limit(0)  # disableCrawling: drain without discovery
         adm = cand.filter(~K.is_excluded_static(F.col("href"), cfg))
-        adm = adm.join(visited2, adm.href == visited2.s, "left_anti")
+        adm = anti_join_seen(adm, "href", visited2, "s", self.seen)
         adm = adm.withColumn("_clean", self._clean(F.col("href")))
-        adm = adm.join(visited2, adm._clean == visited2.s, "left_anti").drop("_clean")
+        adm = anti_join_seen(adm, "_clean", visited2, "s", self.seen).drop("_clean")
         adm = adm.join(
             deferred.select(F.col("raw_url").alias("href")), "href", "left_anti"
         )
@@ -234,31 +296,71 @@ class SparkSiteCrawler:
             F.col("href").alias("raw_url"),
             "discovery_order",
             (F.col("parent_depth") + 1).alias("depth"),
+            F.lit(0).alias("retry_count"),
         )
 
         new_frontier = deferred.unionByName(admitted)
+
+        # ---- transient-retry re-admission (target-only; cuckoo delete) ----
+        n_retried = 0
+        if cfg.retry_transient:
+            retry = pages.filter(
+                (F.col("error_code") == 2000)
+                & (F.col("retry_count") < cfg.max_retries)
+            )
+            if not retry.isEmpty():
+                retry = retry.localCheckpoint(eager=True)
+                n_retried = retry.count()
+                # un-see: remove exact strings; cuckoo supports true
+                # delete, bloom stays stale (exact backstop keeps
+                # correctness, only prefilter selectivity degrades)
+                rm = retry.select(F.col("full_url").alias("s")).unionByName(
+                    retry.select(self._clean(F.col("full_url")).alias("s"))
+                    .filter(F.col("s").isNotNull())
+                )
+                visited2 = visited2.join(rm, "s", "left_anti").localCheckpoint(
+                    eager=True
+                )
+                self._visited_parts = [visited2]
+                ins_part = None  # already folded into the collapsed part
+                from sitecrawler_spark.operators.seen import SparkCuckooFilter
+
+                if isinstance(self.seen, SparkCuckooFilter):
+                    self.seen.delete_df(rm, "s")
+                base_order = new_frontier.agg(
+                    F.coalesce(F.max("discovery_order"), F.lit(max_order))
+                ).collect()[0][0]
+                requeue = assign_global_order(
+                    retry.select(
+                        F.col("full_url").alias("raw_url"),
+                        F.col("discovery_order").alias("_old"),
+                        "depth", "retry_count",
+                    ),
+                    ["_old"], "discovery_order", start=base_order + 1,
+                ).select(
+                    "raw_url", "discovery_order", "depth",
+                    (F.col("retry_count") + 1).alias("retry_count"),
+                )
+                new_frontier = new_frontier.unionByName(requeue)
 
         # ---- commit -------------------------------------------------------
         pages_out = pages.select(
             "full_url", "host", F.lit(wave).alias("wave"), "discovery_order",
             "eff_status", "error_code", "spans",
-        )
+        ).localCheckpoint(eager=True)
+        links_part = links_out.localCheckpoint(eager=True)
         self.frontier = new_frontier.localCheckpoint(eager=True)
-        self.visited = visited2
-        self.pages = (
-            pages_out if self.pages is None
-            else self.pages.unionByName(pages_out)
-        ).localCheckpoint(eager=True)
-        self.links = (
-            links_out if self.links is None
-            else self.links.unionByName(links_out)
-        ).localCheckpoint(eager=True)
+        if ins_part is not None:
+            self._visited_parts.append(ins_part)
+        self._pages_parts.append(pages_out)
+        self._links_parts.append(links_part)
         self.visited_counter += n_fetched
         n_admitted = self.frontier.count()
         wall = time.time() - t0
         n_errors = pages_out.filter(F.col("error_code").isNotNull()).count()
         metrics = {
             "wave": wave, "fetched": n_fetched, "errors": n_errors,
+            "retried": n_retried,
             "admitted": n_admitted, "wall_ms": int(wall * 1000),
             "visited_total": self.visited_counter, "stopped": False,
         }
@@ -279,6 +381,17 @@ class SparkSiteCrawler:
             web = F.broadcast(web)
         j = fetch_set.join(web, fetch_set.full_url == web.url, "left").drop("url")
         j = j.withColumn("eff_status", F.coalesce(F.col("status"), F.lit(404)))
+        if self.cfg.retry_transient:
+            # synthetic transient failure: attempt #retry_count fails while
+            # retry_count < transient_fails → SOCKET_EXCEPTION (2000)
+            j = j.withColumn(
+                "eff_status",
+                F.when(
+                    F.col("retry_count")
+                    < F.coalesce(F.col("transient_fails"), F.lit(0)),
+                    F.lit(2000),
+                ).otherwise(F.col("eff_status")),
+            )
 
         if not self.cfg.disable_redirects:
             # follow 301/302 chains (bounded 5 hops; cycle/overflow → 404
@@ -367,8 +480,8 @@ class SparkSiteCrawler:
         )
         is_success = ~is_error & ~is_gone & ~is_nonhtml
         return j.select(
-            "full_url", "host", "discovery_order", "depth", "eff_status",
-            "redirect_location",
+            "full_url", "host", "discovery_order", "depth", "retry_count",
+            "eff_status", "redirect_location",
             F.when(is_error, F.col("eff_status"))
             .when(is_gone, F.lit(410))
             .alias("error_code"),
@@ -388,9 +501,15 @@ class SparkSiteCrawler:
         raw = raw.filter(F.col("raw_href") != "")  # isEmpty skip (:222-224)
 
         base, sec = cfg.base_url, cfg.base_url_secure
-        n_sec = K.normalize2(F.col("raw_href"), sec)
-        n_base = K.normalize2(F.col("raw_href"), base)
+        # Arrow UDFs (north-star canonicalize path). Also a deliberate
+        # codegen barrier: with the native expression, predicate pushdown
+        # inlines the whole normalize tree into every admission-filter
+        # term, blowing past Janino's 64KB method limit.
+        from sitecrawler_spark.kernel.udfs import make_normalize_udf
+
+        n_base = make_normalize_udf(base)(F.col("raw_href"))
         if sec is not None:
+            n_sec = make_normalize_udf(sec)(F.col("raw_href"))
             href = F.when(F.col("full_url").startswith(sec), n_sec).otherwise(n_base)
         else:
             href = n_base
@@ -447,19 +566,37 @@ class SparkSiteCrawler:
     # -- crawl loop ----------------------------------------------------------
 
     def crawl(
-        self, seed_paths: list[str] | None = None, max_waves: int = 1000
+        self, seed_paths: list[str] | None = None, max_waves: int = 1000,
+        crawl_id: str | None = None,
     ) -> dict:
         if self.frontier is None:
             self.seed(seed_paths)
+        self._paused = getattr(self, "_paused", False)
+        self._discover_urls = getattr(self, "_discover_urls", True)
+        last_logged = 0
         for _ in range(max_waves):
+            if self._paused:  # forcePause (SiteCrawler.java:1094)
+                break
+            if not self._discover_urls and (
+                self.frontier is None or self.frontier.isEmpty()
+            ):
+                break
             if self.cfg.short_circuit_after != 0 and (
                 self.visited_counter > self.cfg.short_circuit_after
             ):
                 break
+            if crawl_id:  # crawl-id tagging (≙ MDC/thread naming, O-C8)
+                self.spark.sparkContext.setJobGroup(
+                    crawl_id, f"crawl {crawl_id} wave {self.wave}"
+                )
             m = self.run_wave()
-            if m.get("stopped") or m["admitted"] == 0 and m["fetched"] == 0:
-                break
-            if self.frontier.isEmpty():
+            # progress log cadence (every reportProgressPerDownloadedPages,
+            # SiteCrawler.java:176,1105-1112 — default 2000)
+            if self.visited_counter - last_logged >= 2000:
+                print(self.crawl_progress_string())
+                last_logged = self.visited_counter
+            # "admitted" is the post-wave frontier size — 0 means done
+            if m.get("stopped") or m["admitted"] == 0:
                 break
         return {
             "waves": self.wave,
@@ -486,14 +623,68 @@ class SparkSiteCrawler:
     def visited_df(self) -> DataFrame:
         return self.visited
 
+    # -- lifecycle & progress (O-C2/C5/C8/C9, O-S10) --------------------------
+
+    def pause(self) -> None:
+        """forcePause analog (SiteCrawler.java:265,398-407): stop
+        scheduling further waves; in-flight wave finishes."""
+        self._paused = True
+
+    def unpause(self) -> None:
+        self._paused = False
+
+    def disable_crawling(self) -> None:
+        """disableCrawling (SiteCrawler.java:496-498): drain the queue
+        without discovering new URLs — remaining waves run with outlink
+        enqueue disabled."""
+        self._discover_urls = False
+
+    def crawl_progress(self) -> dict:
+        """CrawlProgress parity (SiteCrawler.java:725-736;
+        beans/CrawlProgress.java:10-34). Wave-model mapping: nothing sits
+        in download/processing limbo between waves, so scheduled counts
+        are 0 at wave boundaries; leftToCrawl = frontier size."""
+        left = self.frontier.count() if self.frontier is not None else 0
+        fully = self.visited_counter
+        denom = fully + left
+        complete = round(fully / denom * 10000) / 100.0 if denom else 100.0
+        return {
+            "crawled": self.visited_counter,
+            "left_to_crawl": left,
+            "scheduled_for_download": 0,
+            "scheduled_for_processing": 0,
+            "fully_processed": fully,
+            "complete": complete,
+        }
+
+    def crawl_progress_string(self) -> str:
+        """getCrawlProgress format (SiteCrawler.java:708-718)."""
+        p = self.crawl_progress()
+        return (
+            f"{p['crawled']} crawled. {p['left_to_crawl']} left to crawl. "
+            f"{p['scheduled_for_download']} scheduled for download. "
+            f"{p['scheduled_for_processing']} scheduled for processing. "
+            f"{p['fully_processed']} fully processed. "
+            f"{p['complete']}% complete."
+        )
+
+    # -- plugin surface (O-S8/S9) -------------------------------------------
+
+    def apply_actions(self, actions) -> tuple:
+        """Run registered plugin actions over all crawled pages
+        (crawl/plugins.py). Returns (success_df, error_df)."""
+        from sitecrawler_spark.crawl.plugins import apply_actions
+
+        return apply_actions(self.pages, self.links, actions)
+
     # -- checkpointing -------------------------------------------------------
 
     def _commit_snapshot(self, metrics: dict) -> None:
         import pandas as pd
 
         mdf = self.spark.createDataFrame(pd.DataFrame([metrics]))
-        wave_pages = self.pages.filter(F.col("wave") == self.wave)
-        wave_links = self.links.filter(F.col("wave") == self.wave)
+        wave_pages = self._pages_parts[-1]
+        wave_links = self._links_parts[-1]
         self.store.commit(
             self.wave,
             {
@@ -521,8 +712,27 @@ class SparkSiteCrawler:
         if m is None:
             raise ValueError("no snapshot to resume from")
         self.frontier = self.store.read(self.spark, "frontier")
-        self.visited = self.store.read(self.spark, "visited")
-        self.pages = self.store.read(self.spark, "pages")
-        self.links = self.store.read(self.spark, "links")
+        self._visited_parts = [self.store.read(self.spark, "visited")]
+        pages = self.store.read(self.spark, "pages")
+        links = self.store.read(self.spark, "links")
+        self._pages_parts = [pages] if pages is not None else []
+        self._links_parts = [links] if links is not None else []
         self.wave = m["meta"]["wave"] + 1
         self.visited_counter = m["meta"]["visited_counter"]
+        # rebuild the approximate seen-filter from the authoritative
+        # visited table (filters are derived state, not checkpointed)
+        if self.cfg.seen_filter == "bloom":
+            from sitecrawler_spark.operators.seen import SparkBloomFilter
+
+            self.seen = SparkBloomFilter.sized(
+                self.spark, self.cfg.seen_filter_expected_n,
+                self.cfg.seen_filter_fpp,
+            )
+            self.seen.add_df(self.visited, "s")
+        elif self.cfg.seen_filter == "cuckoo":
+            from sitecrawler_spark.operators.seen import SparkCuckooFilter
+
+            self.seen = SparkCuckooFilter.sized(
+                self.spark, self.cfg.seen_filter_expected_n
+            )
+            self.seen.add_df(self.visited, "s")

@@ -29,6 +29,7 @@ WEB_SCHEMA = T.StructType(
         T.StructField("content_type", T.StringType()),
         T.StructField("redirect_location", T.StringType()),
         T.StructField("empty_body", T.BooleanType()),
+        T.StructField("transient_fails", T.IntegerType()),
         T.StructField("spans", SPAN_ARRAY),
         T.StructField("html", T.StringType()),
     ]
@@ -55,6 +56,7 @@ def generate_site(
     seed: int = 42,
     links_per_page: int = 6,
     scheme: str = "https",
+    p_transient: float = 0.0,
 ) -> list[dict]:
     """Returns web rows (dicts matching WEB_SCHEMA ordering)."""
     rng = random.Random(seed)
@@ -78,6 +80,10 @@ def generate_site(
                 empty = True  # → 410 path (ProcessPage.java:182-185)
             elif r < 0.16:
                 ctype = rng.choice(["application/pdf", "text/plain"])
+
+        transient = 0
+        if p_transient > 0 and status == 200 and not empty and rng.random() < p_transient:
+            transient = 1 + rng.randrange(2)  # fails 1-2 times, then succeeds
 
         spans: list[dict] = []
         off = 0
@@ -142,6 +148,7 @@ def generate_site(
                 "content_type": ctype,
                 "redirect_location": redirect,
                 "empty_body": empty,
+                "transient_fails": transient,
                 "spans": spans,
                 "html": "" if empty else html,
             }
@@ -168,6 +175,7 @@ def generate_site(
                 "content_type": "text/html",
                 "redirect_location": None,
                 "empty_body": False,
+                "transient_fails": 0,
                 "spans": spans,
                 "html": render_spans_to_html(spans, title=h),
             }
@@ -185,6 +193,7 @@ def site_to_df(spark, rows: list[dict]):
                 r["content_type"],
                 r["redirect_location"],
                 r["empty_body"],
+                r["transient_fails"],
                 [
                     (s["kind"], s["text"], s["media_ref"], s["offset"])
                     for s in r["spans"]

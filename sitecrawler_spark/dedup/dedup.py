@@ -1,0 +1,153 @@
+"""Deduplication operators for training-data pipelines.
+
+All signatures are pure Column expressions over the portable md5-based
+hash (reproducible in DuckDB for the oracle gate). Scale notes:
+
+- exact: hash-groupBy keep-first — one shuffle on the fingerprint.
+- minhash+LSH: signatures are per-row map-side work; banding explodes
+  to (n_bands × rows) then ONE shuffle on band_key; candidate pairs
+  come from within-bucket self-joins of (usually tiny) buckets — never
+  an all-pairs join.
+- simhash: per-row 64-ish-bit signature; near-dup candidates via exact
+  band-of-bits buckets (4×16-bit bands → Hamming ≤ 3 within banding
+  guarantees), same explode-shuffle shape as LSH.
+- n-gram Jaccard: exact verify step on candidate pairs only.
+- embedding cosine: see ann.py (brute-force + LSH-bucketed variants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sitecrawler_spark.textops.functions import normalize_text
+
+
+def portable_hash_str(c: Column, salt: int) -> Column:
+    """Deterministic salted 60-bit hash, identical in DuckDB:
+    ('0x' || substr(md5(concat(x, '#', salt)), 1, 15))::BIGINT"""
+    return F.conv(
+        F.substring(F.md5(F.concat(c, F.lit(f"#{salt}"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def char_shingles(c: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text (sorted for
+    determinism)."""
+    t = normalize_text(c)
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    arr = F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+    return F.array_sort(F.array_distinct(arr))
+
+
+def minhash_signature(c: Column, n_hashes: int = 16, k: int = 5) -> Column:
+    """Array of n minhash values: min over shingles of salted hash."""
+    sh = char_shingles(c, k)
+
+    def hash_with_salt(j: int):
+        # closure factory: a default-arg lambda would make pyspark treat
+        # the extra parameter as a lambda variable (index column)
+        return lambda s: portable_hash_str(s, j)
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hash_with_salt(j))) for j in range(n_hashes)]
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact near-free dedup: keep the lowest id per normalized-text
+    fingerprint (hash-groupBy; one shuffle)."""
+    key = F.md5(normalize_text(F.col(text_col)))
+    w = Window.partitionBy(key).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: rows sharing any band of
+    the minhash signature. Returns (id_a, id_b) with id_a < id_b,
+    distinct. Shuffles on band_key only; bucket self-join never goes
+    all-pairs."""
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signature(F.col(text_col), n_hashes, k)
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    bands = with_sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        *[F.element_at("sig", b * rows_per_band + j + 1)
+                          for j in range(rows_per_band)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(a_text: Column, b_text: Column, k: int = 5) -> Column:
+    """Exact Jaccard similarity of distinct char k-shingle sets."""
+    sa, sb = char_shingles(a_text, k), char_shingles(b_text, k)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = (F.size(sa) + F.size(sb)).cast("double") - inter
+    return F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+
+
+def simhash64(c: Column, n_bits: int = 60) -> Column:
+    """SimHash over whitespace word tokens using the portable hash:
+    bit j of the signature = sign of Σ_tokens (2·((h(tok)>>j)&1) − 1).
+    60 bits so the value stays in the portable-hash range."""
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    hashes = F.transform(toks, lambda t: portable_hash_str(t, 0))
+
+    def bit_merge(j: int):
+        return lambda acc, h: acc + (
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    bit_sums = [
+        F.aggregate(hashes, F.lit(0).cast("long"), bit_merge(j))
+        for j in range(n_bits)
+    ]
+    out = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_bands(sim: Column, n_bands: int = 4, n_bits: int = 60) -> Column:
+    """Band keys for simhash near-dup bucketing: rows equal in ≥1 band
+    (Hamming distance < n_bands guaranteed caught)."""
+    bits_per = n_bits // n_bands
+    mask = (1 << bits_per) - 1
+    return F.array(
+        *[
+            F.concat_ws(
+                "_", F.lit(b),
+                F.shiftright(sim, b * bits_per).bitwiseAND(F.lit(mask)),
+            )
+            for b in range(n_bands)
+        ]
+    )

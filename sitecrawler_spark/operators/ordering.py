@@ -25,6 +25,10 @@ def assign_global_order(
 ) -> DataFrame:
     """Adds ``out_col`` = start + 0-based rank of the row in the total
     order defined by ``sort_cols`` (which must be tie-free)."""
+    # materialize the input ONCE: isEmpty, the range-partitioner's
+    # sampling pass, and the ranking would otherwise each re-execute the
+    # (often expensive) upstream plan
+    df = df.localCheckpoint(eager=True)
     if df.isEmpty():
         return df.withColumn(out_col, F.lit(None).cast("long"))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism

@@ -223,3 +223,233 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline oracles
+# --------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+_PUNCT_RE = "[!-/:-@\\[-`{-~]"
+
+_STOP = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "on", "with", "a"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "para", "con"],
+}
+
+
+def _stopcount(lang: str) -> str:
+    words = "|".join(_STOP[lang])
+    return f"len(regexp_extract_all(lower(text), '\\b({words})\\b'))"
+
+
+ORACLES["q_token_counts"] = f"""
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+  len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens
+FROM documents
+"""
+
+ORACLES["q_quality_score"] = f"""
+SELECT doc_id, round(
+    least(length(text) / 500.0, 1.0) * 0.3
+  + least({_stopcount('en')}
+      / greatest(CASE WHEN trim(text) = '' THEN 0
+          ELSE len(string_split_regex(trim(text), '\\s+')) END, 1.0) * 4.0,
+      1.0) * 0.4
+  + (1.0 - least(len(regexp_extract_all(text, '{_PUNCT_RE}'))
+      / greatest(length(text), 1.0) * 10.0, 1.0)) * 0.2
+  + (1.0 - least(len(regexp_extract_all(text, '[A-Z]'))
+      / greatest(length(text), 1.0) * 10.0, 1.0)) * 0.1
+, 4) AS quality
+FROM documents
+"""
+
+ORACLES["q_lang_id"] = f"""
+WITH s AS (
+  SELECT doc_id,
+    {_stopcount('en')} AS c_en, {_stopcount('fr')} AS c_fr,
+    {_stopcount('de')} AS c_de, {_stopcount('es')} AS c_es
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(c_en, c_fr, c_de, c_es) = 0 THEN 'und'
+       WHEN c_en = greatest(c_en, c_fr, c_de, c_es) THEN 'en'
+       WHEN c_fr = greatest(c_en, c_fr, c_de, c_es) THEN 'fr'
+       WHEN c_de = greatest(c_en, c_fr, c_de, c_es) THEN 'de'
+       ELSE 'es' END AS lang_pred
+FROM s
+"""
+
+ORACLES["q_fingerprint"] = f"""
+SELECT doc_id,
+  md5({_NORM}) AS fp_md5,
+  list_min(list_transform(
+    range(1, greatest(length({_NORM}) - 15, 1) + 1),
+    i -> ('0x' || substr(md5(substr({_NORM}, i, 16)), 1, 15))::BIGINT
+  )) AS fp_rolling
+FROM documents
+"""
+
+ORACLES["q_exact_dedup"] = f"""
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id FROM r WHERE rn = 1
+"""
+
+_SHINGLES = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(length({_NORM}) - 4, 1) + 1), "
+    f"i -> substr({_NORM}, i, 5)))"
+)
+
+
+def _minhash_j(j: int) -> str:
+    return (
+        f"list_min(list_transform({_SHINGLES}, "
+        f"s -> ('0x' || substr(md5(concat(s, '#{j}')), 1, 15))::BIGINT))"
+    )
+
+
+ORACLES["q_minhash_signature"] = f"""
+SELECT doc_id,
+  concat_ws(',', {', '.join(_minhash_j(j) for j in range(8))}) AS sig
+FROM documents
+"""
+
+ORACLES["q_minhash_pairs"] = f"""
+WITH sigs AS (
+  SELECT doc_id AS id,
+         [{', '.join(_minhash_j(j) for j in range(8))}] AS sig
+  FROM documents
+),
+bands AS (
+  SELECT id, unnest([
+    concat_ws('_', 0, sig[1], sig[2]),
+    concat_ws('_', 1, sig[3], sig[4]),
+    concat_ws('_', 2, sig[5], sig[6]),
+    concat_ws('_', 3, sig[7], sig[8])
+  ]) AS band_key
+  FROM sigs
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.id < b.id
+"""
+
+_TOKHASHES = (
+    "list_transform(string_split_regex(trim(lower(text)), '\\s+'), "
+    "t -> ('0x' || substr(md5(concat(t, '#0')), 1, 15))::BIGINT)"
+)
+
+_simhash_terms = " + ".join(
+    f"(CASE WHEN list_sum(list_transform({_TOKHASHES}, "
+    f"h -> 2 * ((h >> {j}) & 1) - 1)) > 0 THEN {2 ** j} ELSE 0 END)"
+    for j in range(24)
+)
+ORACLES["q_simhash"] = f"""
+SELECT doc_id, ({_simhash_terms})::BIGINT AS simhash
+FROM documents
+"""
+
+_SH_A = _SHINGLES
+_SH_B = _SHINGLES.replace("lower(text)", "lower(text_b)")
+ORACLES["q_ngram_jaccard"] = f"""
+WITH b AS (
+  SELECT doc_id - 1 AS join_id, text AS text_b FROM documents
+),
+p AS (
+  SELECT d.doc_id AS id_a, d.doc_id + 1 AS id_b,
+         {_SH_A} AS sa, {_SH_B} AS sb
+  FROM documents d JOIN b ON d.doc_id = b.join_id
+)
+SELECT id_a, id_b,
+  round(len(list_intersect(sa, sb))
+        / greatest(len(sa) + len(sb) - len(list_intersect(sa, sb)), 1.0),
+        6) AS jaccard
+FROM p
+"""
+
+ORACLES["q_ann_bruteforce"] = """
+WITH p AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qvec::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim
+  FROM embeddings e, p WHERE e.vec_id <> p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+"""
+
+ORACLES["q_ann_lsh"] = """
+WITH planes AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5)) t(p)
+),
+pl AS (
+  SELECT p, ([
+    [-1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0],
+    [1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0],
+    [1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0],
+    [-1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0],
+    [-1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0],
+    [1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0]
+  ])[p + 1] AS vec FROM planes
+),
+emb AS (
+  SELECT vec_id, embedding,
+    (SELECT sum(CASE WHEN list_dot_product(e2.embedding::DOUBLE[], pl.vec) > 0
+                     THEN 1 << pl.p ELSE 0 END)
+     FROM pl) AS bucket
+  FROM embeddings e2
+),
+p AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
+      FROM emb WHERE vec_id < 10),
+cand AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qvec::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim
+  FROM emb e JOIN p ON e.bucket = p.bucket AND e.vec_id <> p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+"""
+
+ORACLES["q_events_sessionize"] = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN prev_ts IS NULL
+                OR epoch(ts) - epoch(prev_ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM sess GROUP BY user_id, session_id
+"""

@@ -277,3 +277,151 @@ def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, rows))
     eng.crawl(sitegen.seeds_for(rows, 2), max_waves=40)
     return eng.visit_order_df()
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (textops / dedup / ann)
+# --------------------------------------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sitecrawler_spark.textops import functions as TX
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        TX.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sitecrawler_spark.textops import functions as TX
+
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sitecrawler_spark.textops import functions as TX
+
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", TX.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sitecrawler_spark.textops import functions as TX
+
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id",
+        TX.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        TX.rolling_hash64(F.col("text")).alias("fp_rolling"),
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sitecrawler_spark.dedup.dedup import exact_dedup
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id")
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sitecrawler_spark.dedup.dedup import minhash_signature
+
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id",
+        F.concat_ws(",", minhash_signature(F.col("text"), 8, 5)).alias("sig"),
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sitecrawler_spark.dedup.dedup import minhash_lsh_pairs
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return minhash_lsh_pairs(docs, "text", "doc_id", n_hashes=8, n_bands=4, k=5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sitecrawler_spark.dedup.dedup import simhash64
+
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", simhash64(F.col("text"), 24).alias("simhash")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard of consecutive doc pairs (verify-stage shape: exact
+    similarity on candidate pairs only, never all-pairs)."""
+    from sitecrawler_spark.dedup.dedup import ngram_jaccard
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("join_id"), F.col("text").alias("text_b")
+    )
+    pairs = docs.join(b, docs.doc_id == b.join_id).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"),
+        ngram_jaccard(F.col("text"), F.col("text_b"), 5).alias("jaccard"),
+    )
+    return pairs
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sitecrawler_spark.dedup.ann import brute_force_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, probes, "vec_id", "embedding", k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sitecrawler_spark.dedup.ann import lsh_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, probes, dim=64, k=5, n_planes=6)
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the stateful-
+    stream analog expressed as batch windows."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH ordered AS (
+          SELECT user_id, ts, event_type,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+          FROM events
+        ),
+        flagged AS (
+          SELECT user_id, ts, event_type,
+                 CASE WHEN prev_ts IS NULL
+                        OR (unix_timestamp(ts) - unix_timestamp(prev_ts)) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM ordered
+        ),
+        sess AS (
+          SELECT user_id, ts, event_type,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               date_format(min(ts), 'yyyy-MM-dd HH:mm:ss') AS session_start
+        FROM sess GROUP BY user_id, session_id
+        """
+    )

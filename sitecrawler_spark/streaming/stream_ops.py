@@ -1,0 +1,105 @@
+"""Structured Streaming operators.
+
+The crawl itself is a batch micro-wave loop by design (the frontier
+feeds back into itself — cyclic dataflow Structured Streaming can't
+express; SURVEY.md §2.10). Streaming applies to the MONITORING and
+INGEST sides:
+
+- ``windowed_event_counts``: file-source stream → watermark → tumbling
+  window aggregation (late-data tolerant crawl/event telemetry).
+- ``stateful_user_counts``: applyInPandasWithState — the custom
+  stateful-operator shape (running per-key counters with timeout),
+  used e.g. for per-host rate accounting over a fetch-log stream.
+
+Both run with ``trigger(availableNow=True)`` in tests (bounded drain of
+the file source), and identically against a live directory in
+production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    source_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """readStream(parquet dir) → watermarked tumbling-window agg."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+STATE_SCHEMA = T.StructType([T.StructField("count", T.LongType())])
+STATEFUL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("events_total", T.LongType()),
+    ]
+)
+
+
+def _count_updates(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    prev = state.get[0] if state.exists else 0
+    n = prev + sum(len(p) for p in pdfs)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [user_id], "events_total": [n]})
+
+
+def stateful_user_counts(spark: SparkSession, source_dir: str) -> DataFrame:
+    """applyInPandasWithState: running per-user event counters — the
+    custom stateful-operator pattern (per-host fetch-rate accounting
+    uses the identical shape with host as the key)."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _count_updates,
+            outputStructType=STATEFUL_OUT,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> None:
+    """Drain all available input into an in-memory table (tests/dev)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

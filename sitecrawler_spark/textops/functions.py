@@ -1,0 +1,107 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path operators are native Column expressions (JVM codegen, no
+Python). Each has a matching DuckDB oracle in oracles.py so the
+driver's correctness gate covers them.
+
+Operators: token counting (whitespace + regex-BPE-ish), quality
+scoring (length/punct/stopword/caps ratios), language ID (stopword
+hit argmax heuristic), document fingerprinting (normalized md5 +
+min-of-rolling-window hash sketch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# regex-BPE-ish token classes: letter runs, digit runs, single symbols
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "on", "with", "a"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "para", "con"],
+}
+
+PUNCT_RE = r"[!-/:-@\[-`{-~]"  # ASCII punctuation ranges
+
+
+def token_count_ws(c: Column) -> Column:
+    """Whitespace token count; empty/blank → 0."""
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count_bpe(c: Column) -> Column:
+    """Regex-BPE-ish token count (letter runs / digit runs / symbols)."""
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+
+def stopword_regex(lang: str) -> str:
+    return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+
+
+def stopword_hits(c: Column, lang: str) -> Column:
+    return F.regexp_count(F.lower(c), F.lit(stopword_regex(lang)))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite quality heuristic ~[0,1]: rewards reasonable length and
+    stopword density, penalizes punctuation/caps excess. Deterministic,
+    rounded for oracle comparison."""
+    n = F.length(c).cast("double")
+    toks = token_count_ws(c).cast("double")
+    punct = F.regexp_count(c, F.lit(PUNCT_RE)).cast("double")
+    caps = F.regexp_count(c, F.lit("[A-Z]")).cast("double")
+    stop = stopword_hits(c, "en").cast("double")
+    nz = F.greatest(n, F.lit(1.0))
+    toks_nz = F.greatest(toks, F.lit(1.0))
+    score = (
+        F.least(n / F.lit(500.0), F.lit(1.0)) * 0.3
+        + F.least(stop / toks_nz * F.lit(4.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct / nz * F.lit(10.0), F.lit(1.0))) * 0.2
+        + (F.lit(1.0) - F.least(caps / nz * F.lit(10.0), F.lit(1.0))) * 0.1
+    )
+    return F.round(score, 4)
+
+
+def lang_id(c: Column) -> Column:
+    """Stopword-hit argmax over {en,fr,de,es}; 'und' when zero hits.
+    Ties break in fixed language order (dict insertion order)."""
+    lowered = F.lower(c)
+    scores = {
+        lang: F.regexp_count(lowered, F.lit(stopword_regex(lang)))
+        for lang in STOPWORDS
+    }
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in STOPWORDS:  # first lang reaching the max wins
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def normalize_text(c: Column) -> Column:
+    """lower + collapse whitespace + trim — canonical form for
+    fingerprinting and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint_md5(c: Column) -> Column:
+    return F.md5(normalize_text(c))
+
+
+def rolling_hash64(c: Column, window: int = 16) -> Column:
+    """Min-of-rolling-window hash sketch (winnowing-style): min over i
+    of portable_hash64(substr(norm_text, i, window)). Portable md5-based
+    hash so DuckDB reproduces it bit-for-bit."""
+    t = normalize_text(c)
+    n = F.greatest(F.length(t) - F.lit(window - 1), F.lit(1))
+    windows = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.conv(
+            F.substring(F.md5(t.substr(i, F.lit(window))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    return F.array_min(windows)

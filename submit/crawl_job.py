@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""spark-submit entry point for a crawl run.
+
+Cluster usage (north rule packaging):
+
+    python submit/package.py                       # builds dist/sitecrawler_spark.zip
+    spark-submit \
+        --py-files dist/sitecrawler_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        --conf spark.sql.shuffle.partitions=<4x cores> \
+        submit/crawl_job.py \
+        --state-dir hdfs:///crawls/run1 \
+        --base-url http://www.salesforce.com \
+        --base-url-secure https://www.salesforce.com \
+        --seeds /seeds.txt --politeness-budget 64 \
+        --seen-filter bloom --expected-urls 10000000000
+
+Local smoke (this sandbox): add --synthetic N to crawl the generated
+synthetic site instead of live HTTP (no network here), e.g.
+    python submit/crawl_job.py --synthetic 200 --state-dir /tmp/crawlrun
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base-url", default="http://www.salesforce.com")
+    ap.add_argument("--base-url-secure", default="https://www.salesforce.com")
+    ap.add_argument("--seeds", help="file with one seed path/URL per line")
+    ap.add_argument("--state-dir", required=True)
+    ap.add_argument("--blocked", nargs="*", default=[])
+    ap.add_argument("--politeness-budget", type=int, default=0)
+    ap.add_argument("--max-wave-size", type=int, default=0)
+    ap.add_argument("--short-circuit-after", type=int, default=0)
+    ap.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default=None)
+    ap.add_argument("--expected-urls", type=int, default=1_000_000)
+    ap.add_argument("--max-waves", type=int, default=10_000)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="crawl a generated synthetic site of N pages")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from sitecrawler_spark.config import CrawlerConfig
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+
+    if SparkSession.getActiveSession() is None and "SPARK_ENV_LOADED" not in os.environ:
+        # direct `python submit/crawl_job.py` invocation: build a tuned
+        # local session (spark-submit provides its own conf otherwise)
+        from sitecrawler_spark.session import get_spark
+
+        spark = get_spark(app_name="sitecrawler-spark")
+    else:
+        spark = SparkSession.builder.appName("sitecrawler-spark").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cfg = CrawlerConfig(
+        base_url=args.base_url,
+        base_url_secure=args.base_url_secure,
+        blocked=args.blocked,
+        disable_redirects=True,
+        politeness_budget=args.politeness_budget,
+        max_wave_size=args.max_wave_size,
+        short_circuit_after=args.short_circuit_after,
+        seen_filter=args.seen_filter,
+        seen_filter_expected_n=args.expected_urls,
+    )
+
+    seeds: list[str] = []
+    if args.seeds:
+        with open(args.seeds) as f:
+            seeds = [line.strip() for line in f if line.strip()]
+
+    if args.synthetic:
+        from sitecrawler_spark.crawl import sitegen
+
+        rows = sitegen.generate_site(n_pages=args.synthetic, seed=42)
+        web = sitegen.site_to_df(spark, rows)
+        if not seeds:
+            seeds = sitegen.seeds_for(rows, 3)
+        eng = SparkSiteCrawler(spark, cfg, web, state_dir=args.state_dir)
+    else:
+        # live-HTTP mode: engine fetch stage swaps to
+        # crawl/fetcher.http_fetch_in_pandas (applyInPandas over
+        # host+salt groups). Not exercised in this sandbox (no network).
+        raise SystemExit(
+            "live HTTP crawling requires network access; "
+            "use --synthetic N in this sandbox"
+        )
+
+    if args.resume:
+        eng.resume()
+        eng.crawl(max_waves=args.max_waves)
+    else:
+        eng.crawl(seeds, max_waves=args.max_waves)
+    print(json.dumps({
+        "waves": eng.wave,
+        "visited_total": eng.visited_counter,
+        "state_dir": args.state_dir,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

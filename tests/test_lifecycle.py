@@ -1,0 +1,81 @@
+"""Lifecycle controls (O-C2/C5/C9) + progress sink (O-S10) + ordering op."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sitecrawler_spark.config import CrawlerConfig
+from sitecrawler_spark.crawl import sitegen
+from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+from sitecrawler_spark.operators.ordering import assign_global_order
+
+BASE = "http://www.salesforce.com"
+SEC = "https://www.salesforce.com"
+
+
+def _cfg(**kw):
+    return CrawlerConfig(base_url=BASE, base_url_secure=SEC,
+                         disable_redirects=True, blocked=["/logout"], **kw)
+
+
+def test_assign_global_order(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in range(10) for y in range(20)], ["a", "b"]
+    )
+    out = assign_global_order(df, ["a", "b"], "ord", start=5, num_partitions=7)
+    rows = out.orderBy("ord").collect()
+    assert [r["ord"] for r in rows] == list(range(5, 205))
+    assert [(r["a"], r["b"]) for r in rows] == sorted(
+        [(x, y) for x in range(10) for y in range(20)]
+    )
+    empty = assign_global_order(df.limit(0), ["a"], "ord")
+    assert empty.count() == 0
+
+
+def test_disable_crawling_drains_without_discovery(spark):
+    site = sitegen.generate_site(n_pages=30, seed=42)
+    web = sitegen.site_to_df(spark, site)
+    eng = SparkSiteCrawler(spark, _cfg(), web)
+    eng.seed(sitegen.seeds_for(site, 3))
+    eng.run_wave()  # discover some links
+    frontier_size = eng.frontier.count()
+    assert frontier_size > 0
+    eng.disable_crawling()
+    eng.crawl(max_waves=20)
+    # all previously queued URLs drained, nothing new discovered
+    assert eng.frontier.count() == 0
+    assert eng.visited_counter <= 3 + frontier_size
+
+
+def test_pause_stops_scheduling(spark):
+    site = sitegen.generate_site(n_pages=30, seed=42)
+    web = sitegen.site_to_df(spark, site)
+    eng = SparkSiteCrawler(spark, _cfg(), web)
+    eng.seed(sitegen.seeds_for(site, 2))
+    eng.run_wave()
+    eng.pause()
+    waves_before = eng.wave
+    eng.crawl(max_waves=10)
+    assert eng.wave == waves_before  # no further wave ran
+    eng.unpause()
+    eng.crawl(max_waves=50)
+    assert eng.wave > waves_before
+    assert eng.frontier.count() == 0
+
+
+def test_progress_sink(spark):
+    site = sitegen.generate_site(n_pages=30, seed=42)
+    web = sitegen.site_to_df(spark, site)
+    eng = SparkSiteCrawler(spark, _cfg(), web)
+    eng.seed(sitegen.seeds_for(site, 2))
+    eng.run_wave()
+    p = eng.crawl_progress()
+    assert p["crawled"] == eng.visited_counter > 0
+    assert p["left_to_crawl"] == eng.frontier.count()
+    denom = p["fully_processed"] + p["left_to_crawl"]
+    assert p["complete"] == round(p["fully_processed"] / denom * 10000) / 100.0
+    s = eng.crawl_progress_string()
+    assert "crawled." in s and "% complete." in s
+    # finish the crawl -> 100%
+    eng.crawl(max_waves=60)
+    assert eng.crawl_progress()["complete"] == 100.0

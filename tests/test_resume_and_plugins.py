@@ -1,0 +1,130 @@
+"""Checkpoint/resume (M6) and plugin surface (M7) tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sitecrawler_spark.config import CrawlerConfig
+from sitecrawler_spark.crawl import sitegen
+from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+from sitecrawler_spark.crawl.plugins import Action
+
+BASE = "http://www.salesforce.com"
+SEC = "https://www.salesforce.com"
+
+
+@pytest.fixture(scope="module")
+def site():
+    return sitegen.generate_site(n_pages=35, seed=42)
+
+
+def _cfg(**kw):
+    return CrawlerConfig(base_url=BASE, base_url_secure=SEC,
+                         disable_redirects=True, blocked=["/logout"], **kw)
+
+
+def test_resume_midcrawl_equals_uninterrupted(spark, site, tmp_path):
+    web = sitegen.site_to_df(spark, site)
+    seeds = sitegen.seeds_for(site, 2)
+
+    # uninterrupted run
+    full = SparkSiteCrawler(spark, _cfg(), web)
+    full.crawl(seeds, max_waves=60)
+    exp_order = [r["full_url"] for r in full.visit_order_df().collect()]
+    exp_seen = {r["s"] for r in full.visited_df().collect()}
+
+    # interrupted: 2 waves, then a NEW engine resumes from snapshot
+    sd = str(tmp_path / "state")
+    first = SparkSiteCrawler(spark, _cfg(), web, state_dir=sd)
+    first.seed(seeds)
+    first.run_wave()
+    first.run_wave()
+
+    second = SparkSiteCrawler(spark, _cfg(), web, state_dir=sd)
+    second.resume()
+    assert second.wave == 2 and second.visited_counter == first.visited_counter
+    second.crawl(seeds, max_waves=60)  # continues (frontier already set)
+
+    got_order = [r["full_url"] for r in second.visit_order_df().collect()]
+    got_seen = {r["s"] for r in second.visited_df().collect()}
+    assert got_order == exp_order
+    assert got_seen == exp_seen
+    # per-wave lineage metrics persisted
+    metrics = second.store.read(spark, "metrics")
+    assert metrics.count() >= second.wave - 1
+
+
+def test_snapshot_expiry(spark, site, tmp_path):
+    import os
+
+    web = sitegen.site_to_df(spark, site)
+    sd = str(tmp_path / "state2")
+    eng = SparkSiteCrawler(spark, _cfg(), web, state_dir=sd)
+    eng.seed(sitegen.seeds_for(site, 2))
+    for _ in range(3):
+        eng.run_wave()
+    eng.store.expire_snapshots(keep=1)
+    snaps = os.listdir(os.path.join(sd, "_snapshots"))
+    assert len(snaps) == 1
+    # latest snapshot still fully readable
+    again = SparkSiteCrawler(spark, _cfg(), web, state_dir=sd)
+    again.resume()
+    assert again.visited_counter == eng.visited_counter
+
+
+def test_plugin_actions(spark, site):
+    web = sitegen.site_to_df(spark, site)
+    eng = SparkSiteCrawler(spark, _cfg(), web)
+    eng.crawl(sitegen.seeds_for(site, 2), max_waves=40)
+
+    @F.pandas_udf(T.IntegerType())
+    def count_hrefs(hrefs: pd.Series) -> pd.Series:
+        return hrefs.map(len).astype("int32")
+
+    actions = [
+        Action("n_raw_hrefs", on_success=lambda df: count_hrefs(F.col("raw_hrefs"))),
+        Action(
+            "link_density",
+            on_success=lambda df: F.round(
+                F.size("raw_hrefs") / F.greatest(F.size("spans"), F.lit(1)), 4
+            ),
+        ),
+        Action(
+            "err_tag",
+            on_error=lambda df: F.concat_ws(
+                ":", F.lit("E"), F.col("error_code"), F.col("full_url")
+            ),
+        ),
+    ]
+    success, error = eng.apply_actions(actions)
+
+    srows = success.select("full_url", "n_raw_hrefs", "link_density",
+                           "referrers", "raw_hrefs").collect()
+    assert len(srows) > 10
+    by_url = {r["url"]: r for r in site}
+    from sitecrawler_spark.crawl.parse import raw_hrefs_from_spans
+
+    for r in srows:
+        exp = raw_hrefs_from_spans(by_url[r["full_url"]]["spans"])
+        # plugins see RAW pre-normalization hrefs (ProcessPage.java:217)
+        assert list(r["raw_hrefs"]) == exp, r["full_url"]
+        assert r["n_raw_hrefs"] == len(exp)
+
+    erows = error.select("full_url", "error_code", "err_tag_error").collect()
+    assert len(erows) > 0
+    for r in erows:
+        assert r["err_tag_error"] == f"E:{r['error_code']}:{r['full_url']}"
+
+    # referrer sets: spot-check one page against the links table
+    links = eng.links
+    some = srows[5]["full_url"]
+    exp_refs = sorted(
+        {r["src"] for r in links.filter(
+            (F.col("dst") == some) & F.col("src").isNotNull()).collect()}
+    )
+    got = [r["referrers"] for r in srows if r["full_url"] == some][0]
+    got_list = got.split(",") if got else []
+    assert got_list == exp_refs

@@ -1,0 +1,131 @@
+"""Bloom/cuckoo seen-filter correctness + engine integration parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sitecrawler_spark.config import CrawlerConfig
+from sitecrawler_spark.crawl import sitegen
+from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+from sitecrawler_spark.crawl.model import ReferenceCrawlModel
+from sitecrawler_spark.operators.seen import (
+    SparkBloomFilter,
+    SparkCuckooFilter,
+    anti_join_seen,
+)
+
+BASE = "http://www.salesforce.com"
+SEC = "https://www.salesforce.com"
+
+
+def _strings_df(spark, n, prefix="key"):
+    return spark.range(n).select(
+        F.concat(F.lit(f"https://h.com/{prefix}"), F.col("id")).alias("s")
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    members = _strings_df(spark, 2000, "in")
+    bloom = SparkBloomFilter.sized(spark, 2000, fpp=0.01)
+    bloom.add_df(members, "s")
+    probed = members.withColumn("hit", bloom.maybe_contains(F.col("s")))
+    assert probed.filter(~F.col("hit")).count() == 0  # membership is certain
+
+
+def test_bloom_fpp_reasonable(spark):
+    members = _strings_df(spark, 2000, "in")
+    others = _strings_df(spark, 2000, "out")
+    bloom = SparkBloomFilter.sized(spark, 2000, fpp=0.01)
+    bloom.add_df(members, "s")
+    fp = others.withColumn("hit", bloom.maybe_contains(F.col("s"))).filter(
+        F.col("hit")
+    ).count()
+    assert fp < 2000 * 0.05  # generous bound around the 1% target
+
+
+def test_anti_join_seen_exactness(spark):
+    cand = _strings_df(spark, 3000, "in").union(_strings_df(spark, 1000, "out"))
+    visited = _strings_df(spark, 3000, "in")
+    bloom = SparkBloomFilter.sized(spark, 3000, fpp=0.02)
+    bloom.add_df(visited, "s")
+    cand = cand.withColumnRenamed("s", "url")
+    plain = {r["url"] for r in cand.join(
+        visited, cand.url == visited.s, "left_anti").collect()}
+    with_bloom = {r["url"] for r in anti_join_seen(
+        cand, "url", visited, "s", bloom).collect()}
+    assert with_bloom == plain  # bloom is a pure routing optimization
+
+
+def test_cuckoo_insert_delete(spark):
+    f = SparkCuckooFilter.sized(spark, 1000)
+    members = _strings_df(spark, 500, "in")
+    assert f.add_df(members, "s") == 0
+    hit = members.withColumn("h", f.maybe_contains(F.col("s")))
+    assert hit.filter(~F.col("h")).count() == 0
+    # delete half, they must become (at least mostly) invisible
+    to_del = members.filter(F.col("s").endswith("0"))
+    n_del = f.delete_df(to_del, "s")
+    assert n_del == to_del.count()
+    still = to_del.withColumn("h", f.maybe_contains(F.col("s"))).filter(
+        F.col("h")
+    ).count()
+    # residual hits only via fingerprint collisions with remaining keys
+    assert still <= to_del.count() * 0.05
+    # non-deleted keys still present
+    kept = members.subtract(to_del)
+    assert kept.withColumn("h", f.maybe_contains(F.col("s"))).filter(
+        ~F.col("h")
+    ).count() == 0
+
+
+def test_engine_with_bloom_matches_model(spark):
+    site = sitegen.generate_site(n_pages=40, seed=42)
+    cfg = CrawlerConfig(
+        base_url=BASE, base_url_secure=SEC, disable_redirects=True,
+        blocked=["/logout"], seen_filter="bloom",
+        seen_filter_expected_n=10_000,
+    )
+    model = ReferenceCrawlModel(cfg, site)
+    expected = model.crawl(sitegen.seeds_for(site, 2))
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, site))
+    eng.crawl(sitegen.seeds_for(site, 2), max_waves=60)
+    assert [r["full_url"] for r in eng.visit_order_df().collect()] == (
+        expected.visit_order
+    )
+    assert {r["s"] for r in eng.visited_df().collect()} == expected.visited
+
+
+def test_engine_retry_transient_with_cuckoo(spark):
+    site = sitegen.generate_site(n_pages=25, seed=9, p_transient=0.4)
+    cfg = CrawlerConfig(
+        base_url=BASE, base_url_secure=SEC, disable_redirects=True,
+        blocked=["/logout"], seen_filter="cuckoo",
+        seen_filter_expected_n=5_000, retry_transient=True,
+    )
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, site))
+    eng.crawl(sitegen.seeds_for(site, 2), max_waves=80)
+
+    pages = eng.pages
+    # transient failures recorded, then retried to success
+    n_transient = pages.filter(F.col("error_code") == 2000).count()
+    assert n_transient > 0
+    assert sum(m.get("retried", 0) for m in eng.metrics_rows) == n_transient
+    # every transiently-failed URL eventually succeeded (none exhausted
+    # the retry budget at fails<=2) exactly once
+    failed_urls = {
+        r["full_url"]
+        for r in pages.filter(F.col("error_code") == 2000).collect()
+    }
+    ok_counts = (
+        pages.filter(F.col("error_code").isNull() | (F.col("error_code") != 2000))
+        .groupBy("full_url").count().collect()
+    )
+    ok_map = {r["full_url"]: r["count"] for r in ok_counts}
+    for u in failed_urls:
+        assert ok_map.get(u) == 1, u
+    # deterministic: same run again → same realized order
+    eng2 = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, site))
+    eng2.crawl(sitegen.seeds_for(site, 2), max_waves=80)
+    o1 = [(r["full_url"], r["wave"]) for r in eng.visit_order_df().collect()]
+    o2 = [(r["full_url"], r["wave"]) for r in eng2.visit_order_df().collect()]
+    assert o1 == o2

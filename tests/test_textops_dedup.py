@@ -1,0 +1,119 @@
+"""Behavioral tests for textops/dedup/ann beyond the oracle value gate:
+duplicate detection actually detects duplicates, LSH finds true
+near-neighbors, signatures behave monotonically."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sitecrawler_spark.dedup import ann as A
+from sitecrawler_spark.dedup import dedup as D
+from sitecrawler_spark.textops import functions as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = []
+    for i in range(20):
+        rows.append((i, f"{base} variant {i} with extra words {i * 7}"))
+    # exact duplicates of doc 0 and 1 (different ids)
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[1][1]))
+    # near-duplicate of doc 2 (one word changed)
+    rows.append((102, rows[2][1].replace("river", "ocean")))
+    # unrelated doc
+    rows.append((200, "completely different content about spark engines and "
+                      "columnar execution with arrow batches"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_removes_duplicates(docs):
+    kept = D.exact_dedup(docs, "text", "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 100 not in ids and 101 not in ids  # dups dropped, keep-first
+    assert 0 in ids and 1 in ids
+    assert 102 in ids  # near-dup is NOT an exact dup
+
+
+def test_minhash_pairs_find_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(docs, "text", "doc_id",
+                                     n_hashes=16, n_bands=8).collect()
+    }
+    assert (0, 100) in pairs
+    assert (1, 101) in pairs
+    assert (2, 102) in pairs  # near-dup caught by banding
+    assert not any(200 in p for p in pairs)  # unrelated doc pairs with nothing
+
+
+def test_ngram_jaccard_ordering(spark, docs):
+    d = {r["doc_id"]: r["text"] for r in docs.collect()}
+    df = spark.createDataFrame(
+        [(d[2], d[102]), (d[2], d[200])], ["a", "b"]
+    ).select(D.ngram_jaccard(F.col("a"), F.col("b")).alias("j"))
+    near, far = [r["j"] for r in df.collect()]
+    assert near > 0.7 > far
+
+
+def test_simhash_hamming(spark, docs):
+    d = {r["doc_id"]: r["text"] for r in docs.collect()}
+    df = spark.createDataFrame(
+        [(d[2],), (d[102],), (d[200],)], ["text"]
+    ).select(D.simhash64(F.col("text"), 32).alias("h"))
+    h2, h102, h200 = [r["h"] for r in df.collect()]
+    ham_near = bin(h2 ^ h102).count("1")
+    ham_far = bin(h2 ^ h200).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 6
+
+
+def test_lsh_topk_finds_planted_neighbors(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(60):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    # plant near-dups of vectors 0..4 at ids 1000..1004
+    for i in range(5):
+        v = np.array(rows[i][1]) + rng.normal(scale=0.02, size=16)
+        v /= np.linalg.norm(v)
+        rows.append((1000 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = emb.filter(F.col("vec_id") < 5)
+    got = A.lsh_topk(emb, probes, dim=16, k=1, n_planes=4)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got.collect()}
+    hits = sum(1 for q, n in top1.items() if n == 1000 + q)
+    assert hits >= 4  # sim≈0.999 pairs land in the same SRP bucket
+
+    # brute force finds all of them (exact baseline)
+    bf = A.brute_force_topk(emb, probes, k=1)
+    bf_top1 = {r["query_id"]: r["neighbor_id"] for r in bf.collect()}
+    assert all(bf_top1[q] == 1000 + q for q in range(5))
+
+
+def test_quality_and_langid_behavior(spark):
+    rows = [
+        (1, "The cat sat on the mat and the dog slept in the sun for hours."),
+        (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+        (3, "le chat est dans la maison et les enfants sont pour une heure"),
+        (4, "der hund ist von dem haus und die katze mit einem ball"),
+        (5, "xyzzy plugh qwop"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"]).select(
+        "id",
+        TX.quality_score(F.col("text")).alias("q"),
+        TX.lang_id(F.col("text")).alias("lang"),
+        TX.token_count_ws(F.col("text")).alias("nt"),
+    )
+    got = {r["id"]: r for r in df.collect()}
+    assert got[1]["q"] > got[2]["q"]  # prose beats punctuation soup
+    assert got[1]["lang"] == "en"
+    assert got[3]["lang"] == "fr"
+    assert got[4]["lang"] == "de"
+    assert got[5]["lang"] == "und"
+    assert got[1]["nt"] == 15
