@@ -80,7 +80,10 @@ def bench_frontier_dedup(spark, n: int) -> tuple[float, int, float]:
     w = Window.partitionBy(key).orderBy("discovery_order")
     adm = adm.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     adm = adm.withColumn("host", K.url_host(F.col("url")))
-    out = adm.count()
+    # agg over every derived column so Catalyst can't prune the work
+    out = adm.agg(
+        F.count("url"), F.count("url_clean"), F.count("host")
+    ).collect()[0][0]
     dt = time.time() - t0
     return dt, out, n / dt
 

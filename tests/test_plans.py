@@ -1,0 +1,72 @@
+"""Physical-plan regression tests: the plans we designed for are the
+plans Catalyst actually produces (column pruning into the parquet scan,
+broadcast for small dims, codegen in hot paths, no Python eval nodes in
+native queries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sitecrawler_spark import queries as Q
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_admission_filter_prunes_text_column(spark):
+    df = Q.q_admission_filter(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas, plan
+    # only doc_id+source may be read for a URL-only query — text, lang,
+    # n_chars must be pruned out of the parquet scan
+    for ln in schemas:
+        assert "n_chars" not in ln and "text" not in ln and "lang" not in ln, ln
+    # formatted mode marks whole-stage-codegen'd nodes with '*'
+    assert "* Filter" in plan and "codegen id" in plan
+
+
+def test_native_queries_have_no_python_nodes(spark):
+    for name in ["q_admission_filter", "q_url_clean", "q_url_normalize",
+                 "q_politeness_topk", "q_lineitem_pricing"]:
+        df = getattr(Q, name)(spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name  # fully JVM-native
+
+
+def test_referrer_agg_partial_aggregation(spark):
+    df = Q.q_referrer_agg(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # collect_set agg runs with a partial (map-side) phase
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+
+
+def test_engine_fetch_uses_broadcast_join(spark):
+    from sitecrawler_spark.config import CrawlerConfig
+    from sitecrawler_spark.crawl import sitegen
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+
+    rows = sitegen.generate_site(n_pages=15, seed=3)
+    cfg = CrawlerConfig(base_url="http://www.salesforce.com",
+                        base_url_secure="https://www.salesforce.com",
+                        disable_redirects=True)
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, rows),
+                           broadcast_web=True)
+    eng.seed(sitegen.seeds_for(rows, 2))
+    fr = eng.frontier.withColumn("full_url", eng._full_url(F.col("url" + "")
+                                 if False else F.col("raw_url")))
+    fr = fr.withColumn("url_clean", F.lit(None).cast("string"))
+    fr = fr.withColumn("host", F.lit("h"))
+    plan = _plan(eng._fetch(fr))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lineitem_pricing_pushes_partial_agg(spark):
+    df = Q.q_lineitem_pricing(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Exchange" in plan  # exactly the one agg shuffle
