@@ -94,7 +94,7 @@ def bench_crawl_engine(spark) -> tuple[float, int, float]:
     from sitecrawler_spark.crawl import sitegen
     from sitecrawler_spark.crawl.engine import SparkSiteCrawler
 
-    rows = sitegen.generate_site(n_pages=1500, seed=42, links_per_page=8)
+    rows = sitegen.generate_site(n_pages=6000, seed=42, links_per_page=14)
     web = sitegen.site_to_df(spark, rows).cache()
     web.count()
     cfg = CrawlerConfig(

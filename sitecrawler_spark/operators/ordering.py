@@ -29,9 +29,17 @@ def assign_global_order(
     # sampling pass, and the ranking would otherwise each re-execute the
     # (often expensive) upstream plan
     df = df.localCheckpoint(eager=True)
-    if df.isEmpty():
+    cnt = df.count()
+    if cnt == 0:
         return df.withColumn(out_col, F.lit(None).cast("long"))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # small inputs: skip the range shuffle; a single-partition window is
+    # cheaper than two-pass ranking until ~1M rows
+    if cnt <= 1_000_000 and num_partitions is None:
+        w = Window.orderBy(*sort_cols)
+        return df.withColumn(
+            out_col, (F.row_number().over(w) + F.lit(start - 1)).cast("long")
+        )
     ranged = df.repartitionByRange(n, *sort_cols)
     # pin partition ids before using them twice (window + count pass)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
