@@ -682,9 +682,45 @@ class SparkSiteCrawler:
     def _commit_snapshot(self, metrics: dict) -> None:
         import pandas as pd
 
-        mdf = self.spark.createDataFrame(pd.DataFrame([metrics]))
         wave_pages = self._pages_parts[-1]
         wave_links = self._links_parts[-1]
+        # per-partition lineage (north star): fetch/parse/error counts per
+        # host bucket per wave, alongside the wave-level row (bucket=-1)
+        bucket = F.pmod(F.xxhash64("host"), F.lit(self.cfg.host_buckets)).cast(
+            "int"
+        )
+        per_part = (
+            wave_pages.groupBy(bucket.alias("bucket"))
+            .agg(
+                F.count("*").alias("fetched"),
+                F.count("error_code").alias("errors"),
+                F.count("spans").alias("parsed"),
+            )
+            .withColumn("wave", F.lit(metrics["wave"]))
+            .select("wave", "bucket", "fetched", "errors", "parsed")
+        )
+        wave_row = self.spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {
+                        "wave": metrics["wave"],
+                        "bucket": -1,
+                        "fetched": metrics["fetched"],
+                        "errors": metrics["errors"],
+                        "parsed": metrics["fetched"] - metrics["errors"],
+                    }
+                ]
+            )
+        ).select(
+            F.col("wave").cast("int"), F.col("bucket").cast("int"),
+            F.col("fetched").cast("long"), F.col("errors").cast("long"),
+            F.col("parsed").cast("long"),
+        )
+        mdf = per_part.select(
+            F.col("wave").cast("int"), F.col("bucket").cast("int"),
+            F.col("fetched").cast("long"), F.col("errors").cast("long"),
+            F.col("parsed").cast("long"),
+        ).unionByName(wave_row)
         self.store.commit(
             self.wave,
             {

@@ -52,9 +52,18 @@ def test_resume_midcrawl_equals_uninterrupted(spark, site, tmp_path):
     got_seen = {r["s"] for r in second.visited_df().collect()}
     assert got_order == exp_order
     assert got_seen == exp_seen
-    # per-wave lineage metrics persisted
+    # per-wave + per-partition lineage metrics persisted
     metrics = second.store.read(spark, "metrics")
     assert metrics.count() >= second.wave - 1
+    waves = metrics.filter(F.col("bucket") == -1).collect()
+    per_part = metrics.filter(F.col("bucket") >= 0)
+    # bucket rows sum to the wave-level fetched count
+    for w in waves:
+        bucket_sum = (
+            per_part.filter(F.col("wave") == w["wave"])
+            .agg(F.sum("fetched")).collect()[0][0]
+        )
+        assert bucket_sum == w["fetched"], w
 
 
 def test_snapshot_expiry(spark, site, tmp_path):
