@@ -5,9 +5,10 @@
   set against the corpus, per-probe top-k via window. The corpus-side
   scan is embarrassingly parallel; this is the correctness oracle.
 - ``lsh_topk``: the scale path — deterministic sign-random-projection
-  LSH (hyperplanes derived from the portable hash, so DuckDB/tests can
-  reproduce bucket assignment), candidates = probe bucket ∪ neighbors,
-  exact re-rank inside buckets only.
+  LSH (random-hyperplane rounding per Charikar, STOC 2002; hyperplanes
+  derived from the portable hash so DuckDB/tests can reproduce bucket
+  assignment), candidates = probe bucket ∪ neighbors, exact re-rank
+  inside buckets only.
 """
 
 from __future__ import annotations

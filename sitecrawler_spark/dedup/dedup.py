@@ -1,7 +1,13 @@
 """Deduplication operators for training-data pipelines.
 
 All signatures are pure Column expressions over the portable md5-based
-hash (reproducible in DuckDB for the oracle gate). Scale notes:
+hash (reproducible in DuckDB for the oracle gate).
+
+Algorithms: MinHash per Broder, "On the resemblance and containment of
+documents" (SEQUENCES 1997) with LSH banding per Leskovec/Rajaraman/
+Ullman, *Mining of Massive Datasets* ch.3; SimHash per Charikar,
+"Similarity estimation techniques from rounding algorithms" (STOC
+2002). Scale notes:
 
 - exact: hash-groupBy keep-first — one shuffle on the fingerprint.
 - minhash+LSH: signatures are per-row map-side work; banding explodes

@@ -19,6 +19,12 @@ Construction is pure DataFrame ops: k bit positions per key via
 array and broadcast. Incremental: each wave's (small) insert set ORs
 into the same array — no rebuild over the full history.
 
+Algorithms: standard Bloom filters (Bloom, CACM 1970) with the
+k-hash construction; cuckoo filters per Fan, Andersen, Kaminsky &
+Mitzenmacher, "Cuckoo Filter: Practically Better Than Bloom"
+(CoNEXT 2014) — 4-slot buckets, partial-key cuckoo hashing
+(i2 = i1 XOR hash(fp)).
+
 The cuckoo filter adds DELETION (retry re-admission: a transiently
 failed URL must become fetchable again, which a bloom cannot express).
 Same probe contract; per-key fingerprint + two candidate buckets,

@@ -7,7 +7,9 @@ driver's correctness gate covers them.
 Operators: token counting (whitespace + regex-BPE-ish), quality
 scoring (length/punct/stopword/caps ratios), language ID (stopword
 hit argmax heuristic), document fingerprinting (normalized md5 +
-min-of-rolling-window hash sketch).
+min-of-rolling-window hash sketch — the sketch follows the winnowing
+idea of Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
+Document Fingerprinting", SIGMOD 2003).
 """
 
 from __future__ import annotations

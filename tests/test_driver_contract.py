@@ -12,7 +12,8 @@ import pytest
 import __spark_entry__ as entrymod
 from sitecrawler_spark.queries import TABLES
 
-SF = "/root/testdata/sf0.001"
+import os
+SF = os.environ.get("CONTRACT_SF", "/root/testdata/sf0.001")
 
 
 def _norm_cell(v):
