@@ -432,12 +432,12 @@ SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
 
 ORACLES["q_events_sessionize"] = """
 WITH ordered AS (
-  SELECT user_id, ts, event_type,
+  SELECT user_id, ts, event_id, event_type,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ),
 flagged AS (
-  SELECT user_id, ts, event_type,
+  SELECT user_id, ts, event_id, event_type,
          CASE WHEN prev_ts IS NULL
                 OR epoch(ts) - epoch(prev_ts) > 1800
               THEN 1 ELSE 0 END AS new_session
@@ -445,7 +445,7 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, ts, event_type,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )

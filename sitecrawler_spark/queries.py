@@ -401,13 +401,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH ordered AS (
-          SELECT user_id, ts, event_type,
+          SELECT user_id, ts, event_id, event_type,
                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_ts
           FROM events
         ),
         flagged AS (
-          SELECT user_id, ts, event_type,
+          SELECT user_id, ts, event_id, event_type,
                  CASE WHEN prev_ts IS NULL
                         OR (unix_timestamp(ts) - unix_timestamp(prev_ts)) > 1800
                       THEN 1 ELSE 0 END AS new_session
@@ -415,7 +415,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sess AS (
           SELECT user_id, ts, event_type,
-                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS session_id
           FROM flagged
