@@ -18,12 +18,12 @@ The engine's default fetch is the synthetic join in engine._fetch
 
 from __future__ import annotations
 
-from urllib.parse import urljoin
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from sitecrawler_spark.kernel import urls_pd
 
 FETCH_RESULT_SCHEMA = T.StructType(
     [
@@ -42,13 +42,11 @@ FETCH_RESULT_SCHEMA = T.StructType(
 
 @F.pandas_udf(T.StringType())
 def urljoin_udf(base: pd.Series, href: pd.Series) -> pd.Series:
-    out = []
-    for b, h in zip(base, href):
-        try:
-            out.append(urljoin(b, h) if b is not None and h is not None else h)
-        except Exception:  # reference logs and keeps the raw href (:240-242)
-            out.append(h)
-    return pd.Series(out)
+    # whole-batch absolutization (urls_pd.urljoin_series): vectorized
+    # fast paths for absolute/root-relative hrefs, exact urljoin
+    # fallback only for the residual minority (:240-242 keeps raw href
+    # on resolution failure, mirrored inside the kernel).
+    return urls_pd.urljoin_series(base, href)
 
 
 def http_fetch_in_pandas(

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sitecrawler_spark.kernel import urls_py
+from sitecrawler_spark.kernel import urls_pd
 
 
 def make_normalize_udf(base: str | None):
@@ -41,24 +41,23 @@ def make_clean_udf(
     allowed_parameters: list[str] | None = None,
     url_path_should_not_end_in_slash: bool = True,
 ):
-    """clean_url (URLCleaner.java:58-108) as an Arrow UDF; scalar core
-    shared with the oracle model for byte-exact parity."""
+    """clean_url (URLCleaner.java:58-108) as an Arrow UDF — whole-batch
+    pandas string ops (urls_pd.clean_series), byte-parity with the
+    scalar oracle urls_py.clean_url enforced by tests/test_url_kernel."""
     params = list(allowed_parameters or [])
     strip = url_path_should_not_end_in_slash
 
     @F.pandas_udf(T.StringType())
     def clean_urls(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda u: urls_py.clean_url(u, params, strip) if u is not None else None
-        )
+        return urls_pd.clean_series(s, params, strip)
 
     return clean_urls
 
 
 @F.pandas_udf(T.StringType())
 def host_udf(s: pd.Series) -> pd.Series:
-    """Host extraction via the java.net.URL-parity parser."""
-    return s.map(lambda u: urls_py.url_host(u) if u is not None else "")
+    """Host extraction via the vectorized java.net.URL-parity parser."""
+    return urls_pd.host_series(s)
 
 
 @F.pandas_udf(T.LongType())

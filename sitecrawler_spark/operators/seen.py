@@ -15,9 +15,19 @@ just pays the join — the exact backstop preserves set equality
 
 Construction is pure DataFrame ops: k bit positions per key via
 ``xxhash64(key, i) % m`` (JVM-side), explode → word index/bit mask →
-``bit_or`` aggregation to ≤ m/64 rows, collected into a numpy bit
-array and broadcast. Incremental: each wave's (small) insert set ORs
-into the same array — no rebuild over the full history.
+``bit_or`` aggregation grouped by (shard, word) — never a full-array
+collect. Incremental: each wave's (small) insert set ORs into the
+touched shards only — no rebuild over the full history.
+
+SHARDING (scale design): the bit array is split into ``n_shards``
+independent slices keyed by ``xxhash64(key, 9) % n_shards`` — the
+host-bucket analog of the Iceberg ``bucket(N, host)`` partitioning. Each
+shard is its own Spark broadcast: TorrentBroadcast fetches are lazy, so
+an executor materializes ONLY the shard slices its partitions actually
+probe, and a wave's insert re-broadcasts ONLY the dirty shards. At
+10^10 keys / 1% fpp (~12 GB of bits) no single executor ever holds the
+whole filter; the driver's copy is the coordinator state that an
+Iceberg-state deployment would keep in a table (see ICEBERG.md).
 
 Algorithms: standard Bloom filters (Bloom, CACM 1970) with the
 k-hash construction; cuckoo filters per Fan, Andersen, Kaminsky &
@@ -47,58 +57,109 @@ def _positions_col(key: Column, k: int, m: int) -> Column:
 
 
 class SparkBloomFilter:
-    def __init__(self, m_bits: int, k: int, spark):
-        self.m = m_bits
+    """Sharded bloom filter: ``n_shards`` independent slices keyed by
+    ``xxhash64(key, 9) % n_shards``, one Spark broadcast per shard (lazy
+    executor fetch — each executor pulls only the slices it probes).
+    ``saturated`` is always False (blooms can't overflow); present so
+    ``anti_join_seen`` treats both filter kinds uniformly."""
+
+    # target ≤ 8 MiB of bits per shard slice when auto-sizing
+    _SHARD_TARGET_BITS = 1 << 26
+
+    def __init__(self, m_bits: int, k: int, spark, n_shards: int = 1):
+        self.n_shards = max(1, n_shards)
+        # per-shard bit count, multiple of 64
+        self.m = max(64, ((m_bits // self.n_shards + 63) // 64) * 64)
         self.k = k
         self.spark = spark
-        self.words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
-        self._bc = None
+        self.saturated = False
+        self._shards: dict[int, np.ndarray] = {}
+        self._bcs: dict[int, object] = {}
+        self._dirty: set[int] = set()
 
     @classmethod
-    def sized(cls, spark, expected_n: int, fpp: float = 0.01) -> "SparkBloomFilter":
+    def sized(
+        cls, spark, expected_n: int, fpp: float = 0.01, n_shards: int | None = None
+    ) -> "SparkBloomFilter":
         m = max(64, int(-expected_n * math.log(fpp) / (math.log(2) ** 2)))
         k = max(1, round(m / max(expected_n, 1) * math.log(2)))
-        return cls(m, min(k, 8), spark)
+        if n_shards is None:
+            n_shards = max(1, m // cls._SHARD_TARGET_BITS)
+        return cls(m, min(k, 8), spark, n_shards=n_shards)
+
+    def _shard_col(self, key: Column) -> Column:
+        return F.pmod(F.xxhash64(key, F.lit(9)), F.lit(self.n_shards)).cast("int")
 
     def add_df(self, df: DataFrame, col: str) -> None:
-        """OR the keys of ``df[col]`` into the filter (one small agg job)."""
+        """OR the keys of ``df[col]`` into their shards: distributed
+        explode → groupBy(shard, word) bit_or — the result is at most
+        (touched shards × m/64) rows, never the full bit array."""
         pos = _positions_col(F.col(col), self.k, self.m)
         words = (
-            df.select(F.explode(pos).alias("p"))
+            df.select(self._shard_col(F.col(col)).alias("s"), F.explode(pos).alias("p"))
             .select(
+                "s",
                 (F.col("p") / 64).cast("long").alias("w"),
                 # python F.shiftleft needs a literal shift; SQL form takes
                 # a column expression
                 F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("mask"),
             )
-            .groupBy("w")
+            .groupBy("s", "w")
             .agg(F.bit_or("mask").alias("bits"))
-            .collect()
+            .toPandas()
         )
-        for r in words:
-            self.words[r["w"]] |= np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
-        self._bc = None  # invalidate broadcast
+        nw = (self.m + 63) // 64
+        for sh, grp in words.groupby("s"):
+            sh = int(sh)
+            arr = self._shards.get(sh)
+            if arr is None:
+                arr = self._shards[sh] = np.zeros(nw, dtype=np.uint64)
+            np.bitwise_or.at(
+                arr,
+                grp["w"].to_numpy(dtype=np.int64),
+                grp["bits"].to_numpy().astype(np.int64).view(np.uint64),
+            )
+            self._dirty.add(sh)
 
-    def _broadcast(self):
-        if self._bc is None:
-            self._bc = self.spark.sparkContext.broadcast(self.words)
-        return self._bc
+    def _broadcasts(self) -> dict:
+        for sh in self._dirty:
+            old = self._bcs.pop(sh, None)
+            if old is not None:
+                old.unpersist()
+            self._bcs[sh] = self.spark.sparkContext.broadcast(self._shards[sh])
+        self._dirty.clear()
+        return dict(self._bcs)
 
     def maybe_contains(self, key: Column) -> Column:
-        """Boolean Column: False ⇒ definitely not in the filter. Bit
-        positions are computed JVM-side (same xxhash64 as construction);
-        only the word/mask test crosses into the Arrow UDF."""
-        bc = self._broadcast()
+        """Boolean Column: False ⇒ definitely not in the filter. Shard id
+        and bit positions are computed JVM-side (same xxhash64 as
+        construction); the UDF fetches only the shard slices present in
+        its batch (absent shard ⇒ nothing ever inserted ⇒ False)."""
+        bcs = self._broadcasts()
 
         @F.pandas_udf(T.BooleanType())
-        def probe(positions: pd.Series) -> pd.Series:
-            w = bc.value
-            mat = np.vstack(positions.to_numpy())  # rows × k positions
-            words = w[(mat >> 6).astype(np.int64)]
-            masks = np.uint64(1) << (mat.astype(np.uint64) & np.uint64(63))
-            return pd.Series(((words & masks) != 0).all(axis=1))
+        def probe(v: pd.Series) -> pd.Series:
+            mat = np.vstack(v.to_numpy())  # rows × (shard, k positions)
+            shards, pos = mat[:, 0], mat[:, 1:]
+            out = np.zeros(len(mat), dtype=bool)
+            for sh in np.unique(shards):
+                b = bcs.get(int(sh))
+                if b is None:
+                    continue
+                sel = shards == sh
+                p = pos[sel]
+                w = b.value
+                words = w[(p >> 6).astype(np.int64)]
+                masks = np.uint64(1) << (p.astype(np.uint64) & np.uint64(63))
+                out[sel] = ((words & masks) != 0).all(axis=1)
+            return pd.Series(out)
 
-        return probe(_positions_col(key, self.k, self.m))
+        return probe(
+            F.array(
+                self._shard_col(key).cast("long"),
+                *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(self.m)) for i in range(self.k)],
+            )
+        )
 
 
 def anti_join_seen(
@@ -118,6 +179,11 @@ def anti_join_seen(
     v = visited.select(F.col(visited_key).alias("__seen_key")).alias(
         "__seen_side"
     )
+    if bloom is not None and getattr(bloom, "saturated", False):
+        # overflowed cuckoo: a failed insert means maybe_contains could
+        # return a false NEGATIVE, which would route a visited URL around
+        # the exact join — fall back to the plain exact anti-join
+        bloom = None
     if bloom is None:
         return candidates.join(
             v, candidates[key] == F.col("__seen_side.__seen_key"), "left_anti"
@@ -149,6 +215,10 @@ class SparkCuckooFilter:
         self.spark = spark
         self.table = np.zeros((self.n, self.SLOTS), dtype=np.uint16)
         self._bc = None
+        # a failed insert (table full after MAX_KICKS) means the filter
+        # can return false NEGATIVES for that key — anti_join_seen must
+        # stop trusting it (exact-anti-join fallback). Sticky by design.
+        self.saturated = False
         self._rng = np.random.default_rng(42)
         # fp → alt-offset hash, precomputed ONCE with Spark's own xxhash64
         # so driver-side kicking and executor-side probing agree exactly
@@ -178,25 +248,72 @@ class SparkCuckooFilter:
     def _alt(self, fp: int, i: int) -> int:
         return (i ^ int(self._fp_h[fp])) & (self.n - 1)
 
-    def _rows(self, df: DataFrame, col: str):
+    def _arrays(self, df: DataFrame, col: str):
+        """(fp, i1) per key as numpy arrays — one Arrow transfer, no Row
+        objects. fp/i1 derivation stays JVM-side (same xxhash64 exprs as
+        the probe)."""
         fp, i1 = self._derive_cols(F.col(col))
-        return df.select(fp.alias("fp"), i1.alias("i1")).collect()
+        pdf = df.select(fp.alias("fp"), i1.alias("i1")).toPandas()
+        return (
+            pdf["fp"].to_numpy(dtype=np.int64),
+            pdf["i1"].to_numpy(dtype=np.int64),
+        )
 
     def add_df(self, df: DataFrame, col: str) -> int:
-        """Insert keys (driver-side table mutation — sized for the small
-        per-wave retry/insert volumes); returns count that failed."""
-        failed = 0
-        for r in self._rows(df, col):
-            fp, i1 = int(r["fp"]), int(r["i1"])
-            if not self._insert(fp, i1, self._alt(fp, i1)):
-                failed += 1
+        """Bulk insert: two vectorized placement rounds (all keys into
+        their i1 buckets, leftovers into i2) followed by the per-key kick
+        loop ONLY for residual collisions — ~0 keys at sane load factors.
+        Returns the count that failed (table full); any failure flips
+        ``saturated`` so anti_join_seen stops trusting the filter."""
+        fps, i1s = self._arrays(df, col)
+        failed = self._bulk_insert(fps, i1s)
+        if failed:
+            self.saturated = True
         self._bc = None
         return failed
 
+    def _bulk_insert(self, fps: np.ndarray, i1s: np.ndarray) -> int:
+        if len(fps) == 0:
+            return 0
+        t = self.table
+        i2s = (i1s ^ self._fp_h[fps]) & (self.n - 1)
+        idx = np.arange(len(fps))
+        for target in (i1s, i2s):
+            if not len(idx):
+                break
+            b = target[idx]
+            order = np.argsort(b, kind="stable")
+            bs, keys = b[order], idx[order]
+            # within-bucket rank: all keys sharing a bucket see the same
+            # pre-round snapshot, so rank r claims the r-th free slot —
+            # distinct (bucket, slot) pairs by construction
+            _, start = np.unique(bs, return_index=True)
+            counts = np.diff(np.append(start, len(bs)))
+            ranks = np.arange(len(bs)) - np.repeat(start, counts)
+            rows = t[bs]
+            freecnt = (rows == 0).sum(axis=1)
+            free_order = np.argsort(rows != 0, axis=1, kind="stable")
+            can = ranks < freecnt
+            slots = free_order[
+                np.arange(len(bs)), np.minimum(ranks, self.SLOTS - 1)
+            ]
+            t[bs[can], slots[can]] = fps[keys[can]].astype(np.uint16)
+            idx = keys[~can]
+        failed = 0
+        for j in idx:  # residual kick path (rare at load ≤ 0.84)
+            fp, i1 = int(fps[j]), int(i1s[j])
+            if not self._insert(fp, i1, self._alt(fp, i1)):
+                failed += 1
+        return failed
+
     def delete_df(self, df: DataFrame, col: str) -> int:
+        """Per-key delete over prefetched numpy arrays (duplicate keys in
+        one batch must each remove a distinct stored copy, which forces
+        sequential slot accounting). Delete volumes are per-wave retry
+        sets — small by construction."""
+        fps, i1s = self._arrays(df, col)
         removed = 0
-        for r in self._rows(df, col):
-            fp, i1 = int(r["fp"]), int(r["i1"])
+        for fp, i1 in zip(fps.tolist(), i1s.tolist()):
             if self._delete(fp, i1, self._alt(fp, i1)):
                 removed += 1
         self._bc = None

@@ -129,3 +129,87 @@ def test_engine_retry_transient_with_cuckoo(spark):
     o1 = [(r["full_url"], r["wave"]) for r in eng.visit_order_df().collect()]
     o2 = [(r["full_url"], r["wave"]) for r in eng2.visit_order_df().collect()]
     assert o1 == o2
+
+
+def test_bloom_sharded_no_false_negatives_and_fpp(spark):
+    """Multi-shard bloom: membership certain per shard, fpp holds, and
+    probing a never-inserted shard returns definitely-new."""
+    members = _strings_df(spark, 4000, "in")
+    others = _strings_df(spark, 4000, "out")
+    bloom = SparkBloomFilter.sized(spark, 4000, fpp=0.01, n_shards=8)
+    assert bloom.n_shards == 8
+    bloom.add_df(members, "s")
+    assert members.withColumn(
+        "h", bloom.maybe_contains(F.col("s"))
+    ).filter(~F.col("h")).count() == 0
+    fp = others.withColumn("h", bloom.maybe_contains(F.col("s"))).filter(
+        F.col("h")
+    ).count()
+    assert fp < 4000 * 0.05
+
+
+def test_bloom_sharded_equals_single_shard_routing(spark):
+    """anti_join_seen output is identical for 1-shard and 8-shard blooms
+    (sharding is pure routing, never semantics)."""
+    cand = _strings_df(spark, 2000, "in").union(_strings_df(spark, 800, "out"))
+    visited = _strings_df(spark, 2000, "in")
+    cand = cand.withColumnRenamed("s", "url")
+    outs = []
+    for shards in (1, 8):
+        b = SparkBloomFilter.sized(spark, 2000, fpp=0.02, n_shards=shards)
+        b.add_df(visited, "s")
+        outs.append(
+            {r["url"] for r in anti_join_seen(cand, "url", visited, "s", b).collect()}
+        )
+    plain = {
+        r["url"]
+        for r in cand.join(visited, cand.url == visited.s, "left_anti").collect()
+    }
+    assert outs[0] == outs[1] == plain
+
+
+def test_bloom_incremental_add_touches_only_dirty_shards(spark):
+    bloom = SparkBloomFilter.sized(spark, 4000, fpp=0.01, n_shards=8)
+    bloom.add_df(_strings_df(spark, 500, "a"), "s")
+    first = {sh: arr.copy() for sh, arr in bloom._shards.items()}
+    bloom.maybe_contains(F.lit("x"))  # flush broadcasts
+    assert not bloom._dirty
+    bloom.add_df(_strings_df(spark, 500, "b"), "s")
+    # only shards whose bits changed are marked dirty for re-broadcast
+    for sh in bloom._dirty:
+        assert sh not in first or not (bloom._shards[sh] == first[sh]).all()
+
+
+def test_cuckoo_overflow_saturates_and_antijoin_falls_back(spark):
+    """Insert far beyond capacity: add_df reports failures, the filter
+    flips saturated, and anti_join_seen returns EXACT results anyway."""
+    f = SparkCuckooFilter(16, spark)  # 16 buckets × 4 slots = 64 capacity
+    members = _strings_df(spark, 2000, "in")
+    failed = f.add_df(members, "s")
+    assert failed > 0
+    assert f.saturated
+    cand = members.union(_strings_df(spark, 500, "out")).withColumnRenamed(
+        "s", "url"
+    )
+    got = {
+        r["url"] for r in anti_join_seen(cand, "url", members, "s", f).collect()
+    }
+    exp = {
+        r["url"]
+        for r in cand.join(members, cand.url == members.s, "left_anti").collect()
+    }
+    assert got == exp  # no silently re-admitted visited URL
+
+
+def test_cuckoo_bulk_insert_matches_sequential_contract(spark):
+    """Vectorized bulk insert keeps the membership contract: every
+    successfully inserted key probes True; deletes still work."""
+    f = SparkCuckooFilter.sized(spark, 5000)
+    members = _strings_df(spark, 5000, "in")
+    assert f.add_df(members, "s") == 0
+    assert not f.saturated
+    assert members.withColumn(
+        "h", f.maybe_contains(F.col("s"))
+    ).filter(~F.col("h")).count() == 0
+    some = members.limit(700)
+    assert f.delete_df(some, "s") == 700

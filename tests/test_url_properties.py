@@ -94,3 +94,64 @@ def test_parse_components_reassemble(u):
     # in host
     assert "?" not in p.path
     assert "/" not in p.host and "@" not in p.host
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch kernel (urls_pd) byte-parity vs the scalar oracle.
+# The engine's Arrow UDFs (udfs.make_clean_udf / host_udf / urljoin_udf)
+# are thin wrappers over these batch functions, so parity here plus the
+# Spark-side goldens in test_url_kernel pins the whole stack.
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+
+from sitecrawler_spark.kernel import urls_pd
+
+messy_url = st.one_of(
+    http_urls(),
+    url_chars,
+    st.just(""),
+    st.from_regex(r"(http|https|ftp|javascript|mailto)?:?(//)?[a-zA-Z0-9@:._/?&=#%-]{0,40}",
+                  fullmatch=True),
+)
+
+
+@given(st.lists(messy_url, min_size=1, max_size=50),
+       st.sampled_from([[], ["x"], ["sid", "x"], [""]]),
+       st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_clean_series_matches_scalar(urls, params, strip):
+    got = urls_pd.clean_series(pd.Series(urls, dtype=object), params, strip).tolist()
+    exp = [urls_py.clean_url(u, params, strip) for u in urls]
+    assert got == exp
+
+
+@given(st.lists(messy_url, min_size=1, max_size=50))
+@settings(max_examples=150, deadline=None)
+def test_host_series_matches_scalar(urls):
+    got = urls_pd.host_series(pd.Series(urls, dtype=object)).tolist()
+    exp = [urls_py.url_host(u) for u in urls]
+    assert got == exp
+
+
+@given(st.lists(st.tuples(st.one_of(st.none(), messy_url),
+                          st.one_of(st.none(), messy_url)),
+                min_size=1, max_size=50))
+@settings(max_examples=150, deadline=None)
+def test_urljoin_series_matches_urljoin(pairs):
+    from urllib.parse import urljoin
+
+    def ref(b, h):
+        if b is None or h is None:
+            return h
+        try:
+            return urljoin(b, h)
+        except Exception:
+            return h
+
+    got = urls_pd.urljoin_series(
+        pd.Series([p[0] for p in pairs], dtype=object),
+        pd.Series([p[1] for p in pairs], dtype=object),
+    ).tolist()
+    exp = [ref(b, h) for b, h in pairs]
+    assert got == exp
