@@ -7,9 +7,10 @@ the exact dequeue-stage of the wave engine).
 
 ``queries()`` / ``oracle_sql()`` — one entry per operator family from
 SURVEY.md §2; oracle SQL is an independent DuckDB re-implementation.
-``q_crawl_e2e`` intentionally has no oracle (iterative cyclic
-dataflow); its parity gate is tests/test_crawl_e2e.py vs the
-single-threaded reference model.
+``q_crawl_e2e``'s oracle is the single-threaded reference model
+(crawl/model.py) rendered as a VALUES literal — SQL cannot express the
+cyclic crawl dataflow, but the model is an independent implementation,
+so the driver's hash compare is a real cross-check.
 """
 
 from __future__ import annotations
@@ -85,4 +86,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_oracles.ORACLES)
+    out = dict(_oracles.ORACLES)
+    out["q_crawl_e2e"] = _oracles.crawl_e2e_oracle()
+    return out

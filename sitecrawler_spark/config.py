@@ -67,6 +67,19 @@ class CrawlerConfig:
     max_retries: int = 5
     backoff_base_ms: int = 10_000
 
+    # Live-HTTP client config (WebClientFactory.java:47-105;
+    # SiteCrawler.java:545-569). Applied pool-wide — every fetch task
+    # builds its opener from these, the analog of the factory stamping
+    # every pooled WebClient identically.
+    user_agent: str = "Mozilla/5.0 (compatible; sitecrawler-spark/0.1)"
+    cookies: list[tuple[str, str]] = field(default_factory=list)  # addCookie (SiteCrawler.java:260,545-569)
+    proxy: str | None = None              # "host:port" ≙ PROXY_STRING (WebClientFactory.java:47-60)
+    insecure_ssl: bool = False            # setUseInsecureSSL (WebClientFactory.java:74-80)
+    throw_on_failing_status: bool = False # setThrowExceptionOnFailingStatusCode (WebClientFactory.java:81-90)
+    fetch_timeout_s: float = 10.0         # setTimeout (WebClientFactory.java:91-105)
+    fetch_salts: int = 1                  # host-salt groups in the live fetch stage
+    max_redirect_hops: int = 20           # follow-mode chain bound (HtmlUnit default ballpark)
+
     # Target-only scale knobs (north rule)
     politeness_budget: int = 0            # max fetches per host per wave; 0 = unlimited
     max_wave_size: int = 0                # global wave cap (≙ maxProcessWaiting); 0 = unlimited

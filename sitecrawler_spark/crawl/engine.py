@@ -305,7 +305,7 @@ class SparkSiteCrawler:
         n_retried = 0
         if cfg.retry_transient:
             retry = pages.filter(
-                (F.col("error_code") == 2000)
+                F.col("error_code").isin(2000, 2001)  # transient socket class
                 & (F.col("retry_count") < cfg.max_retries)
             )
             if not retry.isEmpty():
@@ -375,7 +375,11 @@ class SparkSiteCrawler:
     def _fetch(self, fetch_set: DataFrame) -> DataFrame:
         """Synthetic fetch: resolve wave URLs against the web table.
         Unknown URL → 404 (throw-on-bad-status path). Redirect-follow
-        mode chases Location chains with bounded iterative joins."""
+        mode chases Location chains with bounded iterative joins.
+        With no web table (web_df=None) the wave goes over real HTTP
+        (crawl/fetcher.http_fetch_in_pandas)."""
+        if self.web_df is None:
+            return self._fetch_live(fetch_set)
         web = self.web_df.drop("host")
         if self.broadcast_web is not False:
             web = F.broadcast(web)
@@ -394,11 +398,18 @@ class SparkSiteCrawler:
             )
 
         if not self.cfg.disable_redirects:
-            # follow 301/302 chains (bounded 5 hops; cycle/overflow → 404
-            # like the model's chain guard): resolve Location against the
-            # request origin (absolute or site-relative Location styles),
+            # follow 301/302 chains (bounded cfg.max_redirect_hops;
+            # cycle/overflow → 404 like the model's chain guard): resolve
+            # Location against the CURRENT hop URL with the same urljoin
+            # the model uses (crawl/model.py chases with
+            # urljoin(cur["url"], Location) — a site-relative Location
+            # after a cross-host hop must land on the NEW host, and
+            # path-relative Locations resolve against the hop's path),
             # re-join, keep original full_url identity
-            for _ in range(5):
+            from sitecrawler_spark.crawl.fetcher import urljoin_udf
+
+            j = j.withColumn("_cur", F.col("full_url"))
+            for _ in range(self.cfg.max_redirect_hops):
                 if j.filter(F.col("eff_status").isin(301, 302)).isEmpty():
                     break
                 red = F.col("eff_status").isin(301, 302)
@@ -406,18 +417,10 @@ class SparkSiteCrawler:
                     "_next",
                     F.when(
                         red,
-                        F.when(
-                            F.col("redirect_location").rlike("^https?://"),
-                            F.col("redirect_location"),
-                        ).otherwise(
-                            F.concat(
-                                F.regexp_extract(
-                                    F.col("full_url"), r"^(https?://[^/?#]*)", 1
-                                ),
-                                F.col("redirect_location"),
-                            )
-                        ),
+                        urljoin_udf(F.col("_cur"), F.col("redirect_location")),
                     ),
+                ).withColumn(
+                    "_cur", F.when(red, F.col("_next")).otherwise(F.col("_cur"))
                 )
                 web2 = self.web_df.select(
                     F.col("url").alias("_next"),
@@ -486,6 +489,65 @@ class SparkSiteCrawler:
             .when(is_gone, F.lit(410))
             .alias("error_code"),
             F.when(is_success, spans_col).alias("spans"),
+            is_redirect_err.alias("is_redirect_err"),
+        )
+
+    def _fetch_live(self, fetch_set: DataFrame) -> DataFrame:
+        """Real-HTTP fetch (crawl/fetcher.http_fetch_in_pandas) mapped to
+        the same output contract as the synthetic join — the rest of the
+        wave (extract/admit/retry) is fetch-strategy-agnostic."""
+        from sitecrawler_spark.crawl.fetcher import http_fetch_in_pandas
+
+        cfg = self.cfg
+        raw = http_fetch_in_pandas(
+            fetch_set.select(
+                "full_url", "host", "discovery_order", "depth", "retry_count"
+            ),
+            n_salts=cfg.fetch_salts,
+            timeout_s=cfg.fetch_timeout_s,
+            max_retries=cfg.max_retries,
+            backoff_base_s=cfg.backoff_base_ms / 1000.0,
+            user_agent=cfg.user_agent,
+            cookies=cfg.cookies,
+            proxy=cfg.proxy,
+            insecure_ssl=cfg.insecure_ssl,
+            follow_redirects=not cfg.disable_redirects,
+            max_redirect_hops=cfg.max_redirect_hops,
+        )
+        return self._classify_live(raw)
+
+    def _classify_live(self, raw: DataFrame) -> DataFrame:
+        """Degenerate-page + exception dispatch (ProcessPage.java:160-193,
+        307-329) over live-fetch rows. Separated from the HTTP stage so
+        the full SiteCrawlerErrorCodes taxonomy — including 1000/1001,
+        which a healthy client never produces — is unit-testable."""
+        cfg = self.cfg
+        eff = F.coalesce(F.col("status"), F.col("err_code"))
+        if not cfg.disable_redirects:
+            # follow mode: a residual 3xx means the client hit its hop cap
+            # or a redirect loop — the model 404s these chains
+            eff = F.when(F.col("status").isin(301, 302), F.lit(404)).otherwise(eff)
+        # nothing known at all ⇒ null Page object (ProcessPage.java:160-164)
+        j = raw.withColumn("eff_status", F.coalesce(eff, F.lit(1000)))
+        is_redirect_err = F.col("eff_status").isin(301, 302) & F.lit(
+            cfg.disable_redirects
+        )
+        is_excep = F.col("err_code").isNotNull()
+        is_error = (F.col("eff_status") >= 400) | is_redirect_err | is_excep
+        is_gone = ~is_error & (F.coalesce(F.col("body"), F.lit("")) == "")
+        is_nonhtml = (
+            ~is_error & ~is_gone
+            & ~F.coalesce(F.col("content_type"), F.lit("")).startswith("text/html")
+        )
+        is_success = ~is_error & ~is_gone & ~is_nonhtml
+        return j.select(
+            "full_url", "host", "discovery_order", "depth", "retry_count",
+            "eff_status", "redirect_location",
+            F.when(is_excep, F.col("err_code"))
+            .when(is_error, F.col("eff_status"))
+            .when(is_gone, F.lit(410))
+            .alias("error_code"),
+            F.when(is_success, parse_html_udf(F.col("body"))).alias("spans"),
             is_redirect_err.alias("is_redirect_err"),
         )
 

@@ -453,3 +453,30 @@ SELECT user_id, session_id, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
 FROM sess GROUP BY user_id, session_id
 """
+
+
+def crawl_e2e_oracle() -> str:
+    """Oracle for q_crawl_e2e: run the single-threaded reference model
+    (pure Python, no Spark) over the same deterministic site and emit
+    its visit order as a VALUES literal DuckDB can SELECT. The model and
+    the engine are independent implementations of the reference's crawl
+    semantics, so the hash compare is a real cross-check — SQL itself
+    cannot express the cyclic crawl dataflow."""
+    from sitecrawler_spark.crawl.model import ReferenceCrawlModel
+    from sitecrawler_spark.queries import crawl_e2e_setup
+
+    rows, cfg, seeds = crawl_e2e_setup()
+    res = ReferenceCrawlModel(cfg, rows).crawl(seeds)
+    vals = []
+    for i, url in enumerate(res.visit_order):
+        page = res.pages[i]
+        assert page["url"] == url, "model pages/visit_order misaligned"
+        ec = page["error_code"]
+        ec_sql = "CAST(NULL AS INTEGER)" if ec is None else f"CAST({ec} AS INTEGER)"
+        u = url.replace("'", "''")
+        vals.append(f"(CAST({i + 1} AS INTEGER), '{u}', {ec_sql})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(visit_rank, full_url, error_code)"
+    )

@@ -260,13 +260,13 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # end-to-end crawl (non-SQL-expressible → rows-only check)
 # --------------------------------------------------------------------------
 
-def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full micro-wave crawl of the deterministic synthetic site; returns
-    the realized visit order. No SQL oracle (iterative cyclic dataflow);
-    parity vs the single-threaded reference model is enforced in
-    tests/test_crawl_e2e.py."""
+def crawl_e2e_setup():
+    """Shared fixture for q_crawl_e2e and its oracle: the deterministic
+    synthetic site + config. The oracle side runs the single-threaded
+    reference model (crawl/model.py) over the SAME inputs and emits its
+    visit order as a SQL VALUES literal — two independent
+    implementations, driver-hash-compared."""
     from sitecrawler_spark.crawl import sitegen
-    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
 
     rows = sitegen.generate_site(n_pages=30, seed=42)
     cfg = CrawlerConfig(
@@ -274,9 +274,28 @@ def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_url_secure="https://www.salesforce.com",
         disable_redirects=True, blocked=["/logout"],
     )
+    return rows, cfg, sitegen.seeds_for(rows, 2)
+
+
+def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full micro-wave crawl of the deterministic synthetic site; returns
+    (visit_rank, full_url, error_code) in realized fetch order. The
+    oracle is the independent single-threaded reference model
+    (oracles.crawl_e2e_oracle), the same parity gate as
+    tests/test_crawl_e2e.py but driver-checkable."""
+    from pyspark.sql import Window
+    from sitecrawler_spark.crawl import sitegen
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+
+    rows, cfg, seeds = crawl_e2e_setup()
     eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, rows))
-    eng.crawl(sitegen.seeds_for(rows, 2), max_waves=40)
-    return eng.visit_order_df()
+    eng.crawl(seeds, max_waves=40)
+    w = Window.orderBy("wave", "discovery_order")  # result is wave-sized
+    return (
+        eng.visit_order_df()
+        .withColumn("visit_rank", F.row_number().over(w))
+        .select("visit_rank", "full_url", "error_code")
+    )
 
 
 # --------------------------------------------------------------------------
