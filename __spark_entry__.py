@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": _queries.q_ngram_jaccard,
         "q_ann_bruteforce": _queries.q_ann_bruteforce,
         "q_ann_lsh": _queries.q_ann_lsh,
+        "q_ann_lsh_multi": _queries.q_ann_lsh_multi,
         "q_crawl_e2e": _queries.q_crawl_e2e,
     }
 
@@ -88,4 +89,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = dict(_oracles.ORACLES)
     out["q_crawl_e2e"] = _oracles.crawl_e2e_oracle()
+    out["q_ann_lsh_multi"] = _oracles.ann_lsh_multi_oracle()
     return out

@@ -88,6 +88,31 @@ def bench_frontier_dedup(spark, n: int) -> tuple[float, int, float]:
     return dt, out, n / dt
 
 
+def bench_global_order(spark, n: int, cpus: int) -> tuple[float, float]:
+    """assign_global_order's RANGED path (the >1M-row scale path: range
+    shuffle → per-partition rank → offset add; no single-partition
+    window) over an n-row frontier — end-to-end evidence for the
+    ordering strategy a 10^10 frontier requires."""
+    from sitecrawler_spark.operators.ordering import assign_global_order
+
+    frontier = synthetic_frontier(spark, n)
+    t0 = time.time()
+    ordered = assign_global_order(
+        frontier, ["discovery_order"], "order_out", start=7,
+        num_partitions=cpus,
+    )
+    row = ordered.agg(
+        F.count("*").alias("c"),
+        F.min("order_out").alias("lo"),
+        F.max("order_out").alias("hi"),
+        F.count_distinct("order_out").alias("d"),
+    ).collect()[0]
+    dt = time.time() - t0
+    assert row["c"] == n and row["d"] == n
+    assert row["lo"] == 7 and row["hi"] == 7 + n - 1  # dense, contiguous
+    return dt, n / dt
+
+
 def bench_crawl_engine(spark) -> tuple[float, int, float]:
     """End-to-end wave engine on a larger synthetic site."""
     from sitecrawler_spark.config import CrawlerConfig
@@ -126,6 +151,8 @@ def main() -> None:
 
     fd_sec, fd_rows, fd_rate = bench_frontier_dedup(spark, frontier_n)
     qtimes["frontier_dedup_2m"] = round(fd_sec, 3)
+    go_sec, go_rate = bench_global_order(spark, 2 * frontier_n, cpus)
+    qtimes["global_order_ranged_4m"] = round(go_sec, 3)
     cr_sec, cr_pages, cr_rate = bench_crawl_engine(spark)
     qtimes["crawl_engine_e2e"] = round(cr_sec, 3)
 
@@ -143,6 +170,7 @@ def main() -> None:
                 "frontier_n": frontier_n,
                 "frontier_admitted": fd_rows,
                 "urls_per_sec": round(fd_rate, 1),
+                "global_order_rows_per_sec": round(go_rate, 1),
                 "crawl_pages": cr_pages,
                 "crawl_pages_per_sec": round(cr_rate, 2),
             }

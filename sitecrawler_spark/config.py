@@ -85,6 +85,10 @@ class CrawlerConfig:
     max_wave_size: int = 0                # global wave cap (≙ maxProcessWaiting); 0 = unlimited
     host_salts: int = 1                   # salt buckets for hot-host skew
     host_buckets: int = 8                 # bucket(host) partitioning of state tables
+    order_partitions: int | None = None   # force assign_global_order's ranged
+                                          # path with N partitions (None = auto:
+                                          # ranged only above the ~1M fast-path
+                                          # threshold)
     robots_rules: list[RobotsRule] = field(default_factory=list)
 
     # Seen-filter prefilter layer (north rule: bloom; cuckoo when

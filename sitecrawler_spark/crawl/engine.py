@@ -95,6 +95,7 @@ class SparkSiteCrawler:
         self.metrics_rows: list = []
         self.wave = 0
         self.visited_counter = 0
+        self._max_order = -1  # running max discovery_order (driver state)
 
     @staticmethod
     def _union_parts(parts: list[DataFrame]) -> DataFrame | None:
@@ -156,7 +157,8 @@ class SparkSiteCrawler:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-            df = assign_global_order(df, ["seed_order"], "discovery_order", start=0)
+            df = assign_global_order(df, ["seed_order"], "discovery_order", start=0,
+                                     num_partitions=cfg.order_partitions)
             df = df.select(
                 "raw_url", "discovery_order", F.lit(0).alias("depth"),
                 F.lit(0).alias("retry_count"),
@@ -168,6 +170,9 @@ class SparkSiteCrawler:
             seed_url = cfg.base_url if cfg.base_url is not None else cfg.base_url_secure
             df = spark.createDataFrame([(seed_url, 0, 0, 0)], FRONTIER_SCHEMA)
         self.frontier = df
+        self._max_order = int(
+            df.agg(F.coalesce(F.max("discovery_order"), F.lit(0))).collect()[0][0]
+        )
         self._visited_parts = [self.spark.createDataFrame([], "s string")]
         if cfg.seen_filter == "bloom":
             from sitecrawler_spark.operators.seen import SparkBloomFilter
@@ -224,9 +229,25 @@ class SparkSiteCrawler:
         # deferred-frontier derivation, and admission all reuse it
         ok = ok.localCheckpoint(eager=True)
         if cfg.politeness_budget > 0:
+            budget = cfg.politeness_budget
+            pol = ok
+            if cfg.host_salts > 1:
+                # two-phase top-k for hot-host skew (north rule N4): rank
+                # within (host, salt) first — a row ranked past the
+                # budget inside its salt cannot make the host's global
+                # top-budget — so the final per-host window sees at most
+                # salts × budget rows per host instead of the host's
+                # whole frontier slice
+                salt = F.pmod(F.xxhash64("full_url"), F.lit(cfg.host_salts))
+                w_hs = Window.partitionBy("host", salt).orderBy("discovery_order")
+                pol = (
+                    pol.withColumn("_srn", F.row_number().over(w_hs))
+                    .filter(F.col("_srn") <= budget)
+                    .drop("_srn")
+                )
             w_host = Window.partitionBy("host").orderBy("discovery_order")
-            ok = ok.withColumn("_hrn", F.row_number().over(w_host))
-            fetch_set = ok.filter(F.col("_hrn") <= cfg.politeness_budget).drop("_hrn")
+            pol = pol.withColumn("_hrn", F.row_number().over(w_host))
+            fetch_set = pol.filter(F.col("_hrn") <= budget).drop("_hrn")
         else:
             fetch_set = ok
         # shortCircuitAfter: stop after counter exceeds N
@@ -284,13 +305,13 @@ class SparkSiteCrawler:
         adm = adm.withColumn("_rn", F.row_number().over(w_href)).filter(
             F.col("_rn") == 1
         ).drop("_rn")
-        # discovery_order continues monotonically from the global max
-        max_order = (
-            frontier.agg(F.max("discovery_order")).collect()[0][0] or 0
-        )
+        # discovery_order continues monotonically from the global max,
+        # carried in driver state since the last assignment (no per-wave
+        # 1-row agg job)
+        max_order = self._max_order
         adm = assign_global_order(
             adm, ["parent_order", "link_pos"], "discovery_order",
-            start=max_order + 1,
+            start=max_order + 1, num_partitions=cfg.order_partitions,
         )
         admitted = adm.select(
             F.col("href").alias("raw_url"),
@@ -337,6 +358,7 @@ class SparkSiteCrawler:
                         "depth", "retry_count",
                     ),
                     ["_old"], "discovery_order", start=base_order + 1,
+                    num_partitions=cfg.order_partitions,
                 ).select(
                     "raw_url", "discovery_order", "depth",
                     (F.col("retry_count") + 1).alias("retry_count"),
@@ -355,7 +377,14 @@ class SparkSiteCrawler:
         self._pages_parts.append(pages_out)
         self._links_parts.append(links_part)
         self.visited_counter += n_fetched
-        n_admitted = self.frontier.count()
+        # one agg does double duty: frontier size (metrics) + running
+        # max discovery_order (carried forward for the next wave)
+        row = self.frontier.agg(
+            F.count("*").alias("c"),
+            F.coalesce(F.max("discovery_order"), F.lit(self._max_order)).alias("m"),
+        ).collect()[0]
+        n_admitted = row["c"]
+        self._max_order = int(row["m"])
         wall = time.time() - t0
         n_errors = pages_out.filter(F.col("error_code").isNotNull()).count()
         metrics = {
@@ -817,6 +846,11 @@ class SparkSiteCrawler:
         self._links_parts = [links] if links is not None else []
         self.wave = m["meta"]["wave"] + 1
         self.visited_counter = m["meta"]["visited_counter"]
+        self._max_order = int(
+            self.frontier.agg(
+                F.coalesce(F.max("discovery_order"), F.lit(0))
+            ).collect()[0][0]
+        )
         # rebuild the approximate seen-filter from the authoritative
         # visited table (filters are derived state, not checkpointed)
         if self.cfg.seen_filter == "bloom":

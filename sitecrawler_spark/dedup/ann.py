@@ -69,11 +69,13 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return out
 
 
-def srp_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-random-projection bucket id: bit p = sign(vec · plane_p)."""
+def srp_bucket(vec: Column, dim: int, n_planes: int = 8, table: int = 0) -> Column:
+    """Sign-random-projection bucket id: bit p = sign(vec · plane_p).
+    ``table`` offsets the plane family — each LSH table uses an
+    independent set of hyperplanes (multi-table probing)."""
     out = F.lit(0)
     for p in range(n_planes):
-        plane = _hyperplane(dim, p)
+        plane = _hyperplane(dim, table * 1000 + p)
         dot = F.aggregate(
             F.zip_with(
                 vec,
@@ -95,20 +97,51 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 6,
+    n_tables: int = 1,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact re-rank restricted to same-SRP-bucket
-    candidates. Shuffle is on the bucket id; per-bucket work bounded."""
-    bkt = srp_bucket(F.col(vec_col), dim, n_planes)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"),
-        bkt.alias("bucket"),
-    )
-    p = probes.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        bkt.alias("bucket"),
-    )
-    cand = c.join(F.broadcast(p), "bucket").filter(
-        F.col("query_id") != F.col("neighbor_id")
+    candidates. Shuffle is on the (table, bucket) key; per-bucket work
+    bounded. ``n_tables`` independent plane families trade one more
+    corpus pass each for recall (the banding trick applied to SRP);
+    ``multiprobe`` additionally probes every Hamming-1 neighbor bucket
+    on the PROBE side only — the corpus is never re-hashed, the probe
+    fan-out is (1 + n_planes)×. Per Lv et al., "Multi-Probe LSH" (VLDB
+    2007). Recall vs brute force is pinned by tests/test_textops_dedup."""
+    c_tables = []
+    p_tables = []
+    for t in range(n_tables):
+        bkt = srp_bucket(F.col(vec_col), dim, n_planes, table=t)
+        c_tables.append(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"),
+                F.lit(t).alias("table"), bkt.alias("bucket"),
+            )
+        )
+        if multiprobe:
+            probe_bkts = F.explode(
+                F.array(bkt, *[
+                    bkt.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+                ])
+            )
+        else:
+            probe_bkts = bkt
+        p_tables.append(
+            probes.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+                F.lit(t).alias("table"), probe_bkts.alias("bucket"),
+            )
+        )
+    c = c_tables[0]
+    p = p_tables[0]
+    for t in range(1, n_tables):
+        c = c.unionByName(c_tables[t])
+        p = p.unionByName(p_tables[t])
+    cand = (
+        c.join(F.broadcast(p), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a pair found by several tables is scored once
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id", "neighbor_id",

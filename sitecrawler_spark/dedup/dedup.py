@@ -79,11 +79,20 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     n_bands: int = 4,
     k: int = 5,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: rows sharing any band of
     the minhash signature. Returns (id_a, id_b) with id_a < id_b,
     distinct. Shuffles on band_key only; bucket self-join never goes
-    all-pairs."""
+    all-pairs.
+
+    ``max_bucket_size`` is the degenerate-bucket skew guard: a band
+    bucket larger than the cap (e.g. a mass-duplicated boilerplate
+    corpus) would make the within-bucket self-join quadratic in that
+    bucket — those buckets are excluded here because their contents are
+    by construction near-identical and owned by the EXACT dedup path
+    (md5 fingerprint, ``exact_dedup``), which is linear. Set 0 to
+    disable."""
     rows_per_band = n_hashes // n_bands
     sig = minhash_signature(F.col(text_col), n_hashes, k)
     with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
@@ -103,6 +112,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band_key"),
     )
+    if max_bucket_size > 0:
+        # one extra agg on the same band_key shuffle key; over-cap
+        # buckets never enter the self-join
+        sizes = bands.groupBy("band_key").agg(F.count("*").alias("_bn"))
+        bands = (
+            bands.join(sizes, "band_key")
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -101,14 +101,60 @@ def clean_url(
     URL re-parsed (mangles the final query char if a query is present).
     """
     allowed_parameters = allowed_parameters or []
-
-    # Single parse + analytic strip: re-parsing url[:-1] (the
-    # reference's whole-string truncation, URLCleaner.java:66) only ever
-    # changes one component — the fragment if '#' is present (never
-    # emitted), else the query's last char if '?' is present, else the
-    # path's last char. Avoids quadratic expression blowup from a
-    # second _parse over a conditional of the first.
     ok, host, path, query = _parse(c)
+    with_q = _strip_and_params(
+        c, host, path, query, allowed_parameters, url_path_should_not_end_in_slash
+    )
+    # path-form java.net.URL ("http:foo" — host '', rest is the path):
+    # a SEPARATE small top-level branch rather than extra cases inside
+    # _parse — path-form never occurs in the engine's traffic (full_url
+    # is always base-prefixed), and widening the shared hot parse tree
+    # measurably regressed codegen (~2× on q_seen_antijoin)
+    is_pf, pf_path, pf_query = _parse_path_form(c)
+    pf = _strip_and_params(
+        c, F.lit(""), pf_path, pf_query, allowed_parameters,
+        url_path_should_not_end_in_slash,
+    )
+    # else null ≙ MalformedURLException
+    return F.when(ok, with_q).when(is_pf, pf)
+
+
+def _parse_path_form(u: Column):
+    """(is_path_form, path, query) for 'http:rest' / 'https:rest' —
+    valid java.net.URL with empty host (java parseURL no-authority
+    branch)."""
+    is_p1 = (F.lower(F.substring(u, 1, 5)) == "http:") & (
+        F.lower(F.substring(u, 1, 7)) != "http://"
+    )
+    is_p2 = (F.lower(F.substring(u, 1, 6)) == "https:") & (
+        F.lower(F.substring(u, 1, 8)) != "https://"
+    )
+    nofrag = F.substring_index(u, "#", 1)
+    after = nofrag.substr(
+        F.when(is_p1, F.lit(6)).otherwise(F.lit(7)), F.lit(_BIG)
+    )
+    path = F.substring_index(after, "?", 1)
+    qpos = F.instr(after, "?")
+    query = F.when(qpos > 0, after.substr(qpos + F.lit(1), F.lit(_BIG)))
+    return is_p1 | is_p2, path, query
+
+
+def _strip_and_params(
+    c: Column,
+    host: Column,
+    path: Column,
+    query: Column,
+    allowed_parameters: list[str],
+    url_path_should_not_end_in_slash: bool,
+) -> Column:
+    """Trailing-slash quirk + ordered param whitelist over parsed parts.
+
+    Single parse + analytic strip: re-parsing url[:-1] (the reference's
+    whole-string truncation, URLCleaner.java:66) only ever changes one
+    component — the fragment if '#' is present (never emitted), else the
+    query's last char if '?' is present, else the path's last char.
+    Avoids quadratic expression blowup from a second parse over a
+    conditional of the first."""
     strip = (
         path.endswith("/") & ~path.contains(".")
         if url_path_should_not_end_in_slash
@@ -135,13 +181,11 @@ def clean_url(
             parts,
             lambda x: F.substring_index(x, "=", 1).isin(*allowed_parameters),
         )
-        with_q = F.when(
+        return F.when(
             query.isNotNull() & (query != "") & (F.size(kept) > 0),
             F.concat(hostpath, F.lit("?"), F.array_join(kept, "&")),
         ).otherwise(hostpath)
-    else:
-        with_q = hostpath
-    return F.when(ok, with_q)  # else null ≙ MalformedURLException
+    return hostpath
 
 
 def url_host(c: Column) -> Column:

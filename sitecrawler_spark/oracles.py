@@ -194,11 +194,15 @@ s AS (
     CASE doc_id % 9 WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 302
          WHEN 3 THEN 403 WHEN 4 THEN 404 WHEN 5 THEN 410 WHEN 6 THEN 500
          ELSE 200 END AS status,
+    CASE doc_id % 14 WHEN 7 THEN 900 WHEN 8 THEN 1000 WHEN 9 THEN 1001
+         WHEN 10 THEN 1002 WHEN 11 THEN 2000 WHEN 12 THEN 2001
+         WHEN 13 THEN 3000 ELSE NULL END AS exc,
     doc_id % 10 = 9 AS empty,
     CASE WHEN doc_id % 12 = 11 THEN 'application/pdf' ELSE 'text/html' END AS ctype
   FROM urls
 )
-SELECT CASE WHEN status >= 400 OR (status > 300 AND status < 303) THEN status
+SELECT CASE WHEN exc IS NOT NULL THEN exc
+            WHEN status >= 400 OR (status > 300 AND status < 303) THEN status
             WHEN empty THEN 410
             ELSE NULL END AS error_code,
        count(*) AS n
@@ -480,3 +484,60 @@ def crawl_e2e_oracle() -> str:
         + ", ".join(vals)
         + ") AS t(visit_rank, full_url, error_code)"
     )
+
+
+def ann_lsh_multi_oracle(
+    dim: int = 64, n_planes: int = 4, n_tables: int = 6, k: int = 5
+) -> str:
+    """Generated oracle for q_ann_lsh_multi: mirrors multi-table
+    Hamming-1-multiprobe SRP bucketing in DuckDB. Plane literals come
+    from the SAME deterministic _hyperplane the Spark side uses, so
+    bucket assignment is bit-identical."""
+    from sitecrawler_spark.dedup.ann import _hyperplane
+
+    def bucket_expr(table: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            plane = _hyperplane(dim, table * 1000 + p)
+            lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+                f"THEN {1 << p} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    per_table = [
+        f"SELECT vec_id, embedding, {t} AS tbl, {bucket_expr(t)} AS bucket "
+        f"FROM embeddings"
+        for t in range(n_tables)
+    ]
+    probe_deltas = ", ".join(f"({0})" if False else f"({d})"
+                             for d in [0] + [1 << i for i in range(n_planes)])
+    return f"""
+WITH b AS ({' UNION ALL '.join(per_table)}),
+p AS (
+  SELECT vec_id AS query_id, tbl, xor(bucket, dd.d) AS bucket
+  FROM b, (VALUES {probe_deltas}) dd(d)
+  WHERE vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+  FROM b JOIN p ON b.tbl = p.tbl AND b.bucket = p.bucket
+  WHERE b.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      n.embedding::DOUBLE[]), 6) AS sim
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= {k}
+"""

@@ -204,6 +204,17 @@ def q_error_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(x) for x in [200, 301, 302, 403, 404, 410, 500, 200, 200]]),
         (F.col("doc_id") % 9 + 1).cast("int"),
     )
+    # exception dispatch (ProcessPage.java:307-329) + degenerate-page
+    # codes (:160-185): deterministic doc_id slots for every
+    # SiteCrawlerErrorCodes value, taking precedence over the status map
+    exc = F.element_at(
+        F.array(*[
+            F.lit(x).cast("int")
+            for x in [None, None, None, None, None, None, None,
+                      900, 1000, 1001, 1002, 2000, 2001, 3000]
+        ]),
+        (F.col("doc_id") % 14 + 1).cast("int"),
+    )
     empty = F.col("doc_id") % 10 == 9
     ctype = F.when(F.col("doc_id") % 12 == 11, F.lit("application/pdf")).otherwise(
         F.lit("text/html")
@@ -211,7 +222,8 @@ def q_error_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_error = status >= 400
     is_redirect = (status > 300) & (status < 303)
     code = (
-        F.when(is_error | is_redirect, status)
+        F.when(exc.isNotNull(), exc)
+        .when(is_error | is_redirect, status)
         .when(empty, F.lit(410))
         .when(~ctype.startswith("text/html"), F.lit(None))
         .otherwise(F.lit(None))
@@ -411,6 +423,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     return lsh_topk(emb, probes, dim=64, k=5, n_planes=6)
+
+
+def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multiprobe SRP ANN (scale path): 6 plane families ×
+    Hamming-1 probe fan-out; recall vs brute force pinned ≥0.9 by
+    tests/test_textops_dedup."""
+    from sitecrawler_spark.dedup.ann import lsh_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, probes, dim=64, k=5, n_planes=4, n_tables=6,
+                    multiprobe=True)
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,8 +44,21 @@ class SnapshotStore:
     def _manifest_path(self, snap_id: int) -> str:
         return os.path.join(self.root, "_snapshots", f"{snap_id:08d}.json")
 
+    def _snapshot_files(self) -> list[str]:
+        """Published manifests only: a crash between writing '<id>.json.tmp'
+        and os.replace leaves a .tmp that sorts AFTER the real manifest —
+        reading it would defeat the atomic-publish guarantee."""
+        snap_dir = os.path.join(self.root, "_snapshots")
+        out = []
+        for name in os.listdir(snap_dir):
+            if name.endswith(".json"):
+                out.append(name)
+            elif name.endswith(".tmp"):
+                os.remove(os.path.join(snap_dir, name))  # torn write
+        return sorted(out)
+
     def latest(self) -> dict | None:
-        snaps = sorted(os.listdir(os.path.join(self.root, "_snapshots")))
+        snaps = self._snapshot_files()
         if not snaps:
             return None
         with open(os.path.join(self.root, "_snapshots", snaps[-1])) as f:
@@ -98,7 +111,7 @@ class SnapshotStore:
         """Drop manifests and data parts not referenced by the newest
         ``keep`` snapshots (Iceberg expire_snapshots analog)."""
         snap_dir = os.path.join(self.root, "_snapshots")
-        snaps = sorted(os.listdir(snap_dir))
+        snaps = self._snapshot_files()
         if len(snaps) <= keep:
             return
         live: set[str] = set()

@@ -173,3 +173,17 @@ def test_politeness_budget_deterministic(spark, site):
         .agg(F.max("count").alias("mx")).collect()[0]["mx"]
     )
     assert per <= 3
+
+
+def test_ranged_ordering_path_parity(spark, site):
+    """order_partitions forces assign_global_order's range-partitioned
+    path (the >1M-row scale path) through the WHOLE engine — parity with
+    the model must be unchanged (VERDICT r1 #7: the ranged path needs
+    end-to-end evidence, not just unit tests)."""
+    cfg = CrawlerConfig(base_url=BASE, base_url_secure=SEC,
+                        disable_redirects=True, blocked=["/logout"],
+                        order_partitions=3)
+    seeds = sitegen.seeds_for(site, 2)
+    expected, order, visited = run_both(spark, cfg, site, seeds)
+    assert len(expected.visit_order) > 10
+    assert_parity(expected, order, visited)

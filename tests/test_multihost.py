@@ -66,3 +66,16 @@ def test_multihost_politeness_budget(spark, site):
     assert {r["s"] for r in eng.visited_df().collect()} == {
         r["s"] for r in eng2.visited_df().collect()
     }
+
+
+def test_politeness_salted_equals_unsalted(spark, site):
+    """host_salts>1 changes the physical plan (two-phase top-k) but not
+    the semantics: identical visit order vs the unsalted engine."""
+    seeds = [r["url"] for r in site[:3]]
+    orders = []
+    for salts in (1, 4):
+        cfg = _cfg(politeness_budget=2, host_salts=salts)
+        eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, site))
+        eng.crawl(seeds, max_waves=80)
+        orders.append([r["full_url"] for r in eng.visit_order_df().collect()])
+    assert orders[0] == orders[1]

@@ -137,3 +137,27 @@ def test_plugin_actions(spark, site):
     got = [r["referrers"] for r in srows if r["full_url"] == some][0]
     got_list = got.split(",") if got else []
     assert got_list == exp_refs
+
+
+def test_resume_ignores_torn_tmp_manifest(spark, site, tmp_path):
+    """A crash between writing '<id>.json.tmp' and os.replace must not
+    poison resume: latest() skips (and clears) .tmp files."""
+    import os
+
+    from sitecrawler_spark.tableio import SnapshotStore
+
+    state = str(tmp_path / "state")
+    cfg = CrawlerConfig(base_url=BASE, base_url_secure=SEC,
+                        disable_redirects=True, short_circuit_after=5)
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, site),
+                           state_dir=state)
+    eng.crawl(sitegen.seeds_for(site, 2), max_waves=10)
+    snap_dir = os.path.join(state, "_snapshots")
+    good = sorted(f for f in os.listdir(snap_dir) if f.endswith(".json"))
+    # simulate the torn write: a stale .tmp that sorts after every .json
+    with open(os.path.join(snap_dir, "99999999.json.tmp"), "w") as f:
+        f.write("{ torn")
+    store = SnapshotStore(state, eng.store.tables)
+    m = store.latest()
+    assert m is not None and f"{m['snapshot']:08d}.json" == good[-1]
+    assert not any(x.endswith(".tmp") for x in os.listdir(snap_dir))

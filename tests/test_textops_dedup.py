@@ -117,3 +117,34 @@ def test_quality_and_langid_behavior(spark):
     assert got[4]["lang"] == "de"
     assert got[5]["lang"] == "und"
     assert got[1]["nt"] == 15
+
+
+def test_lsh_multitable_recall_vs_bruteforce(spark):
+    """Multi-table + Hamming-1 multiprobe SRP holds recall ≥ 0.9 against
+    the exact brute-force baseline on the fixture embeddings (single-
+    table single-probe decays — the scale-path hardening from VERDICT r1)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in A.brute_force_topk(emb, probes).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in A.lsh_topk(emb, probes, dim=64, n_planes=4, n_tables=6,
+                               multiprobe=True).collect()}
+    assert len(got & exact) / len(exact) >= 0.9
+    emb.unpersist()
+
+
+def test_minhash_bucket_cap_guards_degenerate_buckets(spark):
+    """A mass-duplicate corpus puts every row in one band bucket; the cap
+    keeps the self-join off it (the pairs belong to exact dedup), while
+    uncapped runs return the quadratic pair set."""
+    rows = [(i, "identical boilerplate text repeated everywhere") for i in range(40)]
+    rows += [(100, "a genuinely unique document about spark"),
+             (101, "a genuinely unique document about spark!")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    uncapped = D.minhash_lsh_pairs(df, "text", "id", max_bucket_size=0).collect()
+    capped = D.minhash_lsh_pairs(df, "text", "id", max_bucket_size=10).collect()
+    assert len(uncapped) >= 40 * 39 // 2  # quadratic in the dup cluster
+    cap_pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert not any(a < 100 and b < 100 for a, b in cap_pairs)  # cluster excluded
+    assert (100, 101) in cap_pairs  # near-dups below cap still found

@@ -190,6 +190,10 @@ def _random_urls(n=400, seed=42):
             u = p + rng.choice(paths).lstrip("/")
         out.append(u)
     out.extend(u for (u, _p, _s, _e) in CLEAN_GOLDEN)
+    # path-form java.net.URL shapes (host='', rest is the path) — all
+    # three kernels must agree (ADVICE r1: native used to null these)
+    out.extend(["http:foo", "https:foo/bar", "HTTP:x?a=b", "http:/x/", "http:",
+                "https:#f", "http:foo#frag?notq"])
     return out
 
 
