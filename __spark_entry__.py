@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_bruteforce": _queries.q_ann_bruteforce,
         "q_ann_lsh": _queries.q_ann_lsh,
         "q_ann_lsh_multi": _queries.q_ann_lsh_multi,
+        "q_span_stats": _queries.q_span_stats,
         "q_crawl_e2e": _queries.q_crawl_e2e,
     }
 

@@ -79,6 +79,8 @@ class CrawlerConfig:
     fetch_timeout_s: float = 10.0         # setTimeout (WebClientFactory.java:91-105)
     fetch_salts: int = 1                  # host-salt groups in the live fetch stage
     max_redirect_hops: int = 20           # follow-mode chain bound (HtmlUnit default ballpark)
+    http_cache_size: int = 10_240         # per-executor response LRU entries
+                                          # (WebClientPool.java:55-69); 0 = off
 
     # Target-only scale knobs (north rule)
     politeness_budget: int = 0            # max fetches per host per wave; 0 = unlimited

@@ -259,7 +259,10 @@ class SparkSiteCrawler:
             )
         if cfg.max_wave_size > 0:
             fetch_set = fetch_set.orderBy("discovery_order").limit(cfg.max_wave_size)
-        fetch_set = fetch_set.localCheckpoint(eager=True)
+        if fetch_set is not ok:
+            fetch_set = fetch_set.localCheckpoint(eager=True)
+        # else: no cap narrowed the wave — ok is already checkpointed, a
+        # second materialization of the identical frame is pure waste
         n_fetched = fetch_set.count()
         if n_fetched == 0:
             self.frontier = frontier.limit(0).localCheckpoint(eager=True)
@@ -441,7 +444,14 @@ class SparkSiteCrawler:
             for _ in range(self.cfg.max_redirect_hops):
                 if j.filter(F.col("eff_status").isin(301, 302)).isEmpty():
                     break
-                red = F.col("eff_status").isin(301, 302)
+                # PIN the redirect flag as a real column BEFORE any
+                # update: a bare F.col("eff_status") expression re-resolves
+                # against the REPLACED eff_status in later withColumns, so
+                # the landing page's content/spans/empty flags were never
+                # copied on the terminal hop (caught by the multi-hop
+                # chain parity test)
+                j = j.withColumn("_red", F.col("eff_status").isin(301, 302))
+                red = F.col("_red")
                 j = j.withColumn(
                     "_next",
                     F.when(
@@ -487,8 +497,8 @@ class SparkSiteCrawler:
                     .withColumn(
                         "html", F.when(red, F.col("n_html")).otherwise(F.col("html"))
                     )
-                    .drop("_next", "n_status", "n_ct", "n_redir", "n_empty",
-                          "n_spans", "n_html")
+                    .drop("_next", "_red", "n_status", "n_ct", "n_redir",
+                          "n_empty", "n_spans", "n_html")
                 )
             # unresolved after the hop budget (cycle or long chain) → 404
             j = j.withColumn(
@@ -542,6 +552,7 @@ class SparkSiteCrawler:
             insecure_ssl=cfg.insecure_ssl,
             follow_redirects=not cfg.disable_redirects,
             max_redirect_hops=cfg.max_redirect_hops,
+            cache_size=cfg.http_cache_size,
         )
         return self._classify_live(raw)
 
@@ -627,6 +638,10 @@ class SparkSiteCrawler:
         raw = raw.withColumn("_rn", F.row_number().over(w_page)).filter(
             F.col("_rn") == 1
         ).drop("_rn")
+        # materialize ONCE: both consumers (links commit + admission
+        # chain) would otherwise re-run the explode + normalize/urljoin
+        # UDFs + dedup window — the wave's heaviest parse work — twice
+        raw = raw.localCheckpoint(eager=True)
 
         links_out = raw.select(
             F.col("full_url").alias("src"), F.col("href").alias("dst"),
@@ -729,6 +744,22 @@ class SparkSiteCrawler:
         without discovering new URLs — remaining waves run with outlink
         enqueue disabled."""
         self._discover_urls = False
+
+    def pool_accounting(self) -> dict:
+        """WebClientPool take/return/recycle accounting analog
+        (WebClientPool.java:68,71-73,272-282). The wave model is a
+        barrier: every fetch slot taken inside a wave is returned before
+        the wave commits, so unaccountedFor is structurally 0 at every
+        wave boundary (the reference's leak detector exists because its
+        pool outlives any one page); recycles map to transient-retry
+        re-admissions (client recycled per WebClientPool.java:236-247)."""
+        total_retried = sum(m.get("retried", 0) for m in self.metrics_rows)
+        return {
+            "take": self.visited_counter,
+            "return": self.visited_counter,
+            "recycle": total_retried,
+            "unaccounted_for": 0,
+        }
 
     def crawl_progress(self) -> dict:
         """CrawlProgress parity (SiteCrawler.java:725-736;

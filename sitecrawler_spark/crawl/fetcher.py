@@ -57,6 +57,42 @@ def urljoin_udf(base: pd.Series, href: pd.Series) -> pd.Series:
     return urls_pd.urljoin_series(base, href)
 
 
+class ResponseCache:
+    """Per-executor LRU response cache — the analog of the HtmlUnit
+    ``Cache`` shared across the client pool (WebClientPool.java:55-69,
+    max 10,240 entries). Python UDF workers are reused across tasks, so
+    a module-level instance lives for the executor's lifetime; cross-
+    wave memoization additionally comes free from the visited dedupe,
+    this layer serves retries and duplicate in-flight URLs."""
+
+    def __init__(self, max_entries: int = 10_240):
+        from collections import OrderedDict
+
+        self.max_entries = max_entries
+        self._d: "OrderedDict[str, tuple]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, url: str):
+        v = self._d.get(url)
+        if v is not None:
+            self._d.move_to_end(url)
+            self.hits += 1
+        else:
+            self.misses += 1
+        return v
+
+    def put(self, url: str, value: tuple) -> None:
+        self._d[url] = value
+        self._d.move_to_end(url)
+        while len(self._d) > self.max_entries:
+            self._d.popitem(last=False)
+
+
+# one instance per executor python worker (≙ one Cache per pool)
+_RESPONSE_CACHE = ResponseCache()
+
+
 class _NoRedirect:
     """Redirect handler that surfaces 3xx as HTTPError (Location kept in
     headers) — the disable_redirects client mode
@@ -121,6 +157,7 @@ def http_fetch_in_pandas(
     insecure_ssl: bool = False,
     follow_redirects: bool = True,
     max_redirect_hops: int = 20,
+    cache_size: int = 10_240,
 ) -> DataFrame:
     """Real-HTTP fetch stage: group by (host, salt) so one task owns a
     host slice (per-client politeness serialization, the pool analog of
@@ -170,11 +207,23 @@ def http_fetch_in_pandas(
             user_agent, cookie_list, proxy, insecure_ssl, follow_redirects,
             max_redirect_hops,
         )
+        cache = _RESPONSE_CACHE if cache_size > 0 else None
+        if cache is not None:
+            cache.max_entries = cache_size
         rows = []
         for r in pdf.sort_values("discovery_order").itertuples():
             status, ctype, redirect, body, err, attempts = (
                 None, None, None, None, None, 0,
             )
+            if cache is not None:
+                hit = cache.get(r.full_url)
+                if hit is not None:
+                    status, ctype, redirect, body = hit
+                    rows.append(
+                        (r.full_url, r.host, r.discovery_order, r.depth,
+                         r.retry_count, status, ctype, redirect, body, None, 0)
+                    )
+                    continue
             while attempts <= max_retries:
                 err = None
                 try:
@@ -209,6 +258,10 @@ def http_fetch_in_pandas(
                         continue
                     err = code
                     break
+            if cache is not None and err is None and status == 200:
+                # memoize healthy responses only (a failed fetch must be
+                # retryable on re-admission)
+                cache.put(r.full_url, (status, ctype, redirect, body))
             rows.append(
                 (
                     r.full_url, r.host, r.discovery_order, r.depth,

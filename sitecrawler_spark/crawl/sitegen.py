@@ -57,18 +57,44 @@ def generate_site(
     links_per_page: int = 6,
     scheme: str = "https",
     p_transient: float = 0.0,
+    redirect_chains: int = 0,
 ) -> list[dict]:
-    """Returns web rows (dicts matching WEB_SCHEMA ordering)."""
+    """Returns web rows (dicts matching WEB_SCHEMA ordering).
+
+    ``redirect_chains``: number of multi-hop redirect chains to plant
+    (each 3 hops, crossing hosts when >1 host, mixing absolute and
+    site-relative Location styles) — exercises hop-by-hop Location
+    resolution against the CURRENT hop URL (ADVICE r1: sitegen used to
+    emit only effectively single-hop redirects)."""
     rng = random.Random(seed)
     paths = [_page_path(i, rng) for i in range(n_pages)]
     page_host = [hosts[i % len(hosts)] for i in range(n_pages)]
     urls = [f"{scheme}://{page_host[i]}{paths[i]}" for i in range(n_pages)]
 
+    # plant 3-hop chains a →(abs, crosses hosts)→ b →(site-relative,
+    # SAME host — a relative Location only resolves correctly against
+    # the CURRENT hop's host, the exact bug class ADVICE r1 flagged)→
+    # c →(abs)→ landing
+    chain_redirect: dict[int, tuple[int, str]] = {}
+    h_stride = len(hosts) if len(hosts) > 1 else 1
+    for cidx in range(redirect_chains):
+        a = 3 + cidx * (h_stride + 3)
+        b, c2, d = a + 1, a + 1 + h_stride, a + 2 + h_stride
+        if d >= n_pages:
+            break
+        chain_redirect[a] = (b, "abs")
+        chain_redirect[b] = (c2, "rel")  # page_host[b] == page_host[c2]
+        chain_redirect[c2] = (d, "abs")
+
     rows: list[dict] = []
     for i in range(n_pages):
         r = rng.random()
         status, ctype, redirect, empty = 200, "text/html", None, False
-        if i > 2:  # keep the first pages healthy so crawls get going
+        if i in chain_redirect:
+            dst, style = chain_redirect[i]
+            status = 301 if i % 2 else 302
+            redirect = urls[dst] if style == "abs" else paths[dst]
+        elif i > 2:  # keep the first pages healthy so crawls get going
             if r < 0.06:
                 status = rng.choice([404, 403, 500])
             elif r < 0.10:

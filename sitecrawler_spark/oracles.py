@@ -541,3 +541,20 @@ r AS (
 )
 SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= {k}
 """
+
+
+ORACLES["q_span_stats"] = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+  FROM documents
+)
+SELECT CASE WHEN i % 5 = 0 THEN 'anchor'
+            WHEN i % 7 = 0 THEN 'media' ELSE 'text' END AS kind,
+       count(*) AS n,
+       sum(length(tok)) AS chars,
+       count(CASE WHEN i % 7 = 0 AND i % 5 <> 0 THEN concat('ref://', tok) END) AS n_refs,
+       max(i) AS max_offset
+FROM t GROUP BY 1
+"""

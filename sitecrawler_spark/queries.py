@@ -425,6 +425,41 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, probes, dim=64, k=5, n_planes=6)
 
 
+def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved span documents (input_hint shape): build a REAL
+    array<struct<kind,text,media_ref,offset>> column from document text,
+    explode it, aggregate per kind — exercises the span data model as a
+    first-class query (the oracle derives the same aggregates scalar-
+    wise, an independent path)."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = F.split(F.col("text"), " ")
+    spans = F.transform(
+        toks,
+        lambda x, i: F.struct(
+            F.when(i % 5 == 0, F.lit("anchor"))
+            .when(i % 7 == 0, F.lit("media"))
+            .otherwise(F.lit("text"))
+            .alias("kind"),
+            x.alias("text"),
+            F.when(
+                (i % 7 == 0) & (i % 5 != 0), F.concat(F.lit("ref://"), x)
+            ).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    ex = docs.select("doc_id", F.explode(spans).alias("s"))
+    return (
+        ex.groupBy(F.col("s.kind").alias("kind"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("s.text")).alias("chars"),
+            F.count("s.media_ref").alias("n_refs"),
+            F.max("s.offset").alias("max_offset"),
+        )
+    )
+
+
 def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table multiprobe SRP ANN (scale path): 6 plane families ×
     Hamming-1 probe fan-out; recall vs brute force pinned ≥0.9 by

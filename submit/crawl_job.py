@@ -46,6 +46,20 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="crawl a generated synthetic site of N pages")
+    ap.add_argument("--live", action="store_true",
+                    help="fetch over real HTTP (crawl/fetcher) instead of "
+                         "a synthetic web table")
+    ap.add_argument("--follow-redirects", action="store_true")
+    ap.add_argument("--politeness-salts", type=int, default=1)
+    ap.add_argument("--fetch-salts", type=int, default=1)
+    ap.add_argument("--order-partitions", type=int, default=None)
+    ap.add_argument("--http-cache-size", type=int, default=10_240)
+    ap.add_argument("--user-agent",
+                    default="Mozilla/5.0 (compatible; sitecrawler-spark/0.1)")
+    ap.add_argument("--cookie", action="append", default=[],
+                    metavar="NAME=VALUE")
+    ap.add_argument("--proxy", default=None)
+    ap.add_argument("--insecure-ssl", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -67,12 +81,20 @@ def main() -> None:
         base_url=args.base_url,
         base_url_secure=args.base_url_secure,
         blocked=args.blocked,
-        disable_redirects=True,
+        disable_redirects=not args.follow_redirects,
         politeness_budget=args.politeness_budget,
         max_wave_size=args.max_wave_size,
         short_circuit_after=args.short_circuit_after,
         seen_filter=args.seen_filter,
         seen_filter_expected_n=args.expected_urls,
+        host_salts=args.politeness_salts,
+        fetch_salts=args.fetch_salts,
+        order_partitions=args.order_partitions,
+        http_cache_size=args.http_cache_size,
+        user_agent=args.user_agent,
+        cookies=[tuple(c.split("=", 1)) for c in args.cookie],
+        proxy=args.proxy,
+        insecure_ssl=args.insecure_ssl,
     )
 
     seeds: list[str] = []
@@ -88,14 +110,14 @@ def main() -> None:
         if not seeds:
             seeds = sitegen.seeds_for(rows, 3)
         eng = SparkSiteCrawler(spark, cfg, web, state_dir=args.state_dir)
-    else:
-        # live-HTTP mode: engine fetch stage swaps to
+    elif args.live:
+        # live-HTTP mode: engine fetch stage is
         # crawl/fetcher.http_fetch_in_pandas (applyInPandas over
-        # host+salt groups). Not exercised in this sandbox (no network).
-        raise SystemExit(
-            "live HTTP crawling requires network access; "
-            "use --synthetic N in this sandbox"
-        )
+        # host+salt groups; tested offline against a loopback server in
+        # tests/test_live_fetch.py)
+        eng = SparkSiteCrawler(spark, cfg, web_df=None, state_dir=args.state_dir)
+    else:
+        raise SystemExit("pass --synthetic N (offline) or --live")
 
     if args.resume:
         eng.resume()

@@ -79,3 +79,34 @@ def test_progress_sink(spark):
     # finish the crawl -> 100%
     eng.crawl(max_waves=60)
     assert eng.crawl_progress()["complete"] == 100.0
+
+
+def test_submit_cli_surface(tmp_path):
+    """O-C7 conf-surface audit: the spark-submit entry point accepts the
+    full knob set and completes a synthetic crawl, committing snapshots
+    (run in-process via argv to reuse the session-scoped JVM)."""
+    import json
+    import os
+    import sys
+    from unittest import mock
+
+    sys.path.insert(0, "/root/repo/submit")
+    import crawl_job
+
+    state = str(tmp_path / "subrun")
+    argv = ["crawl_job.py", "--synthetic", "30", "--state-dir", state,
+            "--short-circuit-after", "8", "--politeness-budget", "4",
+            "--politeness-salts", "2", "--seen-filter", "bloom",
+            "--expected-urls", "100000", "--order-partitions", "2",
+            "--cookie", "sid=abc", "--http-cache-size", "64"]
+    with mock.patch.object(sys, "argv", argv), mock.patch(
+        "pyspark.sql.SparkSession.stop", lambda self: None
+    ):
+        crawl_job.main()
+    assert os.path.isdir(os.path.join(state, "_snapshots"))
+    snaps = [f for f in os.listdir(os.path.join(state, "_snapshots"))
+             if f.endswith(".json")]
+    assert snaps
+    with open(os.path.join(state, "_snapshots", sorted(snaps)[-1])) as f:
+        m = json.load(f)
+    assert m["meta"]["visited_counter"] > 0

@@ -240,3 +240,93 @@ def test_opener_client_config():
     assert redirects and redirects[0].redirect_request(
         None, None, 301, "", {}, "http://x"
     ) is None
+
+
+def test_response_cache_memoizes_within_executor(spark, server):
+    """D9 analog (WebClientPool.java:55-69): the per-executor LRU serves
+    repeat URLs without re-hitting the network."""
+    rows, base = _load_site(server, n_pages=6, seed=23)
+    server.require_cookie = None
+    url = rows[0]["url"]
+    # duplicate rows in ONE (host, salt) group → second is a cache hit
+    df = spark.createDataFrame(
+        [(url, "h", 0, 0, 0), (url, "h", 1, 0, 0)],
+        "full_url string, host string, discovery_order long, depth int, retry_count int",
+    ).coalesce(1)
+    out = http_fetch_in_pandas(df, timeout_s=5.0, max_retries=0,
+                               backoff_base_s=0.0).collect()
+    assert len(out) == 2
+    assert out[0]["status"] == out[1]["status"] == 200
+    assert out[0]["body"] == out[1]["body"]
+    # cache off → both rows fetch (smoke check the toggle)
+    out2 = http_fetch_in_pandas(df, timeout_s=5.0, max_retries=0,
+                                backoff_base_s=0.0, cache_size=0).collect()
+    assert len(out2) == 2
+
+
+def test_pool_accounting_balances(spark, server):
+    """A4 analog: take/return balance at wave boundaries, recycles count
+    transient re-admissions (WebClientPool.java:272-282)."""
+    rows, base = _load_site(server, n_pages=10, seed=29)
+    server.require_cookie = None
+    cfg = CrawlerConfig(base_url=base, disable_redirects=True,
+                        fetch_timeout_s=5.0, backoff_base_ms=0)
+    eng = SparkSiteCrawler(spark, cfg, web_df=None)
+    eng.crawl(sitegen.seeds_for(rows, 2), max_waves=20)
+    acct = eng.pool_accounting()
+    assert acct["take"] == acct["return"] == eng.visited_counter > 0
+    assert acct["unaccounted_for"] == 0
+
+
+def test_robots_parse_and_live_prefetch(spark, server):
+    """robots.txt workflow the reference README delegates to users
+    (README.md:159-160): parse Disallow groups, prefetch over live HTTP,
+    compile into the blocked predicate — crawl parity with a model fed
+    the same rules."""
+    from sitecrawler_spark.crawl.robots import (
+        fetch_robots_rules,
+        parse_robots_txt,
+    )
+
+    body = """
+# comment
+User-agent: evilbot
+Disallow: /everything
+
+User-agent: *
+Disallow: /cloud
+Disallow:            # empty = allow-all, skipped
+Disallow: /crm/p1
+
+User-agent: sitecrawler-spark
+User-agent: otherbot
+Disallow: /extra
+"""
+    rules = parse_robots_txt(body, "h.com", user_agent="sitecrawler-spark")
+    assert [(r.host, r.disallow) for r in rules] == [
+        ("h.com", "/cloud"), ("h.com", "/crm/p1"), ("h.com", "/extra")
+    ]
+    # generic UA only matches the '*' group
+    rules2 = parse_robots_txt(body, "h.com", user_agent="randombot")
+    assert [r.disallow for r in rules2] == ["/cloud", "/crm/p1"]
+
+    # live prefetch: loopback server serves /robots.txt; engine honors it
+    rows, base = _load_site(server, n_pages=20, seed=31)
+    server.require_cookie = None
+    host = base.split("://", 1)[1]
+    server.web["/robots.txt"] = {
+        "status": 200, "content_type": "text/plain",
+        "redirect_location": None, "empty_body": False,
+        "html": "User-agent: *\nDisallow: /crm\n",
+    }
+    fetched = fetch_robots_rules([base])
+    assert [(r.host, r.disallow) for r in fetched] == [(host, "/crm")]
+    cfg = CrawlerConfig(base_url=base, disable_redirects=True,
+                        robots_rules=fetched,
+                        fetch_timeout_s=5.0, backoff_base_ms=0)
+    # robots rules compile into the blocked predicate on BOTH the engine
+    # (urls_spark.is_excluded_static) and the model (urls_py.is_excluded)
+    seeds = sitegen.seeds_for(rows, 2)
+    expected, order, visited, _ = _run_live(spark, cfg, rows, seeds)
+    assert order == expected.visit_order
+    assert not any("/crm" in u for u in order)

@@ -79,3 +79,28 @@ def test_politeness_salted_equals_unsalted(spark, site):
         eng.crawl(seeds, max_waves=80)
         orders.append([r["full_url"] for r in eng.visit_order_df().collect()])
     assert orders[0] == orders[1]
+
+
+def test_multihop_crosshost_redirect_chains(spark):
+    """3-hop redirect chains crossing hosts with site-relative middle
+    Locations: engine follow-mode resolves each Location against the
+    CURRENT hop (crawl/model.py chases with urljoin) — parity gate."""
+    chained = sitegen.generate_site(n_pages=40, hosts=HOSTS, seed=5,
+                                    redirect_chains=4)
+    # the planted chains really are multi-hop: a 3xx whose target is 3xx
+    by_url = {r["url"]: r for r in chained}
+    hops = [r for r in chained if r["status"] in (301, 302)
+            and r["redirect_location"] in by_url
+            and by_url[r["redirect_location"]]["status"] in (301, 302)]
+    assert hops, "sitegen planted no multi-hop chains"
+    cfg = CrawlerConfig(base_url="https://", disable_redirects=False,
+                        blocked=["/logout"])
+    seeds = [r["url"] for r in chained[:4]]
+    model = ReferenceCrawlModel(cfg, chained)
+    expected = model.crawl(seeds)
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, chained))
+    eng.crawl(seeds, max_waves=60)
+    assert [r["full_url"] for r in eng.visit_order_df().collect()] == (
+        expected.visit_order
+    )
+    assert {r["s"] for r in eng.visited_df().collect()} == expected.visited
