@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_bruteforce": _queries.q_ann_bruteforce,
         "q_ann_lsh": _queries.q_ann_lsh,
         "q_ann_lsh_multi": _queries.q_ann_lsh_multi,
+        "q_ann_ivf": _queries.q_ann_ivf,
+        "q_embed_neardup": _queries.q_embed_neardup,
+        "q_dedup_clusters": _queries.q_dedup_clusters,
         "q_span_stats": _queries.q_span_stats,
         "q_crawl_e2e": _queries.q_crawl_e2e,
     }
@@ -91,4 +94,5 @@ def oracle_sql() -> dict[str, str]:
     out = dict(_oracles.ORACLES)
     out["q_crawl_e2e"] = _oracles.crawl_e2e_oracle()
     out["q_ann_lsh_multi"] = _oracles.ann_lsh_multi_oracle()
+    out["q_embed_neardup"] = _oracles.embed_neardup_oracle()
     return out

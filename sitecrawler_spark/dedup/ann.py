@@ -9,6 +9,15 @@
   derived from the portable hash so DuckDB/tests can reproduce bucket
   assignment), candidates = probe bucket ∪ neighbors, exact re-rank
   inside buckets only.
+- ``embedding_neardup_pairs``: embedding-cosine near-duplicate PAIRS
+  (the dedup-pipeline shape, vs the top-k search shape above) — SRP
+  buckets → within-bucket self-join → exact cosine verify ≥ threshold.
+- ``ivf_topk``: IVF-flat ANN (Jégou et al., "Product quantization for
+  nearest neighbor search", TPAMI 2011 — the coarse-quantizer stage,
+  no PQ compression): partition the corpus into centroid-owned
+  inverted lists once, then search only the ``n_probe`` lists nearest
+  each query. Assignment is a broadcast join + map-side-combined
+  argmax (shuffle volume = N rows, not N×C).
 """
 
 from __future__ import annotations
@@ -152,6 +161,237 @@ def lsh_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
+    id_a < id_b and cosine ≥ ``threshold``. The dedup analog of the
+    text-side ``minhash_lsh_pairs``: SRP buckets per table → within-
+    bucket self-join (never all-pairs) → pair dedup across tables →
+    exact cosine verify. P(same 1-plane bucket) = 1 − θ/π, so near-dups
+    (small θ) collide in ≥1 of the ``n_tables`` plane families with
+    high probability; recall vs exact all-pairs is pinned by
+    tests/test_textops_dedup. ``max_bucket_size`` caps degenerate
+    buckets (same skew guard, and same rationale, as
+    dedup.minhash_lsh_pairs)."""
+    tables = []
+    for t in range(n_tables):
+        bkt = srp_bucket(F.col(vec_col), dim, n_planes, table=t)
+        tables.append(
+            corpus.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                F.lit(t).alias("table"), bkt.alias("bucket"),
+            )
+        )
+    b = tables[0]
+    for t in range(1, n_tables):
+        b = b.unionByName(tables[t])
+    if max_bucket_size > 0:
+        sizes = b.groupBy("table", "bucket").agg(F.count("*").alias("_bn"))
+        b = (
+            b.join(sizes, ["table", "bucket"])
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    x = b.alias("x")
+    y = b.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+            F.col("x.vec").alias("va"), F.col("y.vec").alias("vb"),
+        )
+        # a pair colliding in several tables is verified once
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b",
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 20,
+    n_iters: int = 5,
+    init_stride: int | None = None,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column, built from
+    DataFrame ops only — trains the IVF coarse quantizer (pass the
+    result as ``ivf_topk(centroids=...)``).
+
+    Init = stride-sampled corpus rows (deterministic; no RNG so runs
+    reproduce bit-for-bit). Each iteration: (1) assign — broadcast the
+    C centroids, per-row argmax with map-side-combined groupBy (shuffle
+    = N rows, see ivf_topk); (2) update — posexplode vectors to
+    (cluster, dim, val), one groupBy(cluster, dim).avg (shuffle = N×dim
+    values but combiners collapse per partition to C×dim), re-assemble
+    arrays ordered by dim. Empty clusters keep their previous centroid.
+    ``localCheckpoint`` per iteration cuts iterative lineage. Returns
+    (centroid_id, centroid) with centroid_id = 0..C-1."""
+    if init_stride is None:
+        n = corpus.count()
+        init_stride = max(n // n_centroids, 1)
+    # the id-stride filter shrinks the set to ≈C rows BEFORE the global
+    # ranking window, so the single-partition window only ever sees the
+    # tiny sample — never the corpus
+    sampled = corpus.filter((F.col(id_col) % init_stride) == 0).select(
+        F.col(id_col).alias("_sid"), F.col(vec_col).alias("cvec")
+    )
+    cent = (
+        sampled.withColumn(
+            "centroid_id",
+            (F.row_number().over(Window.orderBy("_sid")) - 1).cast("long"),
+        )
+        .filter(F.col("centroid_id") < n_centroids)
+        .select("centroid_id", "cvec")
+        .localCheckpoint(eager=True)
+    )
+    rows = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(n_iters):
+        assigned = (
+            rows.join(F.broadcast(cent))
+            .select(
+                "id", "vec", "centroid_id",
+                cosine_sim(F.col("vec"), F.col("cvec")).alias("csim"),
+            )
+            .groupBy("id")
+            .agg(
+                F.expr(
+                    "max_by(centroid_id, struct(csim, -centroid_id))"
+                ).alias("centroid_id"),
+                F.first("vec").alias("vec"),
+            )
+        )
+        upd = (
+            assigned.select(
+                "centroid_id", F.posexplode("vec").alias("dim", "val")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("_dm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(
+                    F.col("_dm"), lambda s: s["m"].cast("float")
+                ).alias("cvec"),
+            )
+        )
+        # empty clusters keep their previous centroid
+        kept = cent.join(upd.select("centroid_id"), "centroid_id", "left_anti")
+        cent = upd.unionByName(kept).localCheckpoint(eager=True)
+    # column names match the corpus so the result plugs straight into
+    # ivf_topk(centroids=...)
+    return cent.select(
+        F.col("centroid_id").alias(id_col), F.col("cvec").alias(vec_col)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroids: DataFrame | None = None,
+    centroid_stride: int = 25,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-flat approximate top-k: assign every corpus vector to its
+    nearest centroid (one inverted list per centroid), then search only
+    the ``n_probe`` lists nearest each probe and re-rank exactly.
+
+    ``centroids`` defaults to a deterministic corpus sample
+    (id % stride == 0) — random-sample coarse quantizers are the
+    standard no-training IVF initialization; pass a k-means output for
+    tighter lists. Scale shape: the centroid table is small by
+    construction (C ≈ N/stride or √N), so BOTH scoring joins broadcast
+    it; the assignment argmax is a groupBy(id) with map-side combine —
+    shuffle volume N rows, not N×C scored rows. Search cost is
+    |probes| × (n_probe/C) × N — the IVF contract."""
+    if centroids is None:
+        centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+
+    def nearest(df: DataFrame, n: int) -> DataFrame:
+        """ids of the n nearest centroids per row (broadcast join; n=1
+        argmax via max_by so partial aggregation keeps shuffle at N)."""
+        scored = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).join(F.broadcast(cent)).select(
+            "id", "vec", "centroid_id",
+            # rounded before argmax so ulp-level float-summation
+            # differences between engines can't flip an assignment
+            F.round(cosine_sim(F.col("vec"), F.col("cvec")), 6).alias("csim"),
+        )
+        if n == 1:
+            return scored.groupBy("id").agg(
+                F.expr(
+                    "max_by(centroid_id, struct(csim, -centroid_id))"
+                ).alias("centroid_id"),
+                F.first("vec").alias("vec"),
+            )
+        w = Window.partitionBy("id").orderBy(
+            F.col("csim").desc(), F.col("centroid_id")
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n)
+            .select("id", "vec", "centroid_id")
+        )
+
+    lists = nearest(corpus, 1).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("nvec"),
+        "centroid_id",
+    )
+    probe_lists = nearest(probes, n_probe).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec"),
+        "centroid_id",
+    )
+    cand = lists.join(F.broadcast(probe_lists), "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        F.round(cosine_sim(F.col("qvec"), F.col("nvec")), 6).alias("sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )

@@ -1,0 +1,93 @@
+"""Connected components over near-duplicate pair graphs.
+
+Dedup pipelines need clusters, not pairs: every document in a
+connected component of the near-dup graph is the "same" document, and
+exactly one canonical representative per component is kept. This is
+the cluster step that sits after ``minhash_lsh_pairs`` /
+``embedding_neardup_pairs``.
+
+Algorithm: iterative min-label propagation — every node starts with
+label = own id; each round every node takes the min label over itself
+and its neighbors; fixpoint when no label changes. Labels only ever
+decrease, so SUM(label) is a monotone convergence witness (one scalar
+aggregate per round — no row data ever collected to the driver).
+Rounds needed = graph diameter; near-dup components are dense blobs
+with tiny diameters, so this converges in a handful of rounds in
+practice. For adversarial long-chain graphs at 100 TB the
+O(log n)-round alternating large-star/small-star algorithm (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC 2014)
+drops in behind the same signature; the propagation round below is the
+small-star primitive of that algorithm.
+
+Each round is: one shuffle join (labels onto edge endpoints) + one
+groupBy(id).min with map-side combine. ``localCheckpoint`` after every
+round cuts the lineage so round k's plan does not re-execute rounds
+1..k-1 (Spark re-runs un-checkpointed iterative lineage from scratch —
+the classic iterative-DataFrame trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(id, component_id) for every node; component_id = min node id
+    reachable in the undirected graph. Isolated nodes keep their own
+    id. Deterministic — safe for the hash-compare gate."""
+    # undirected: propagate across both orientations
+    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    und = fwd.unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    for _ in range(max_rounds):
+        msgs = (
+            und.join(labels, und.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("component_id"))
+
+
+def dedup_clusters(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Canonical-document selection: components + per-cluster size and
+    an is_canonical flag (the minimum id of each component is kept —
+    deterministic, matches exact_dedup's keep-lowest-id rule)."""
+    comp = connected_components(nodes, edges, id_col, src_col, dst_col)
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component_id")
+        .select(
+            "id", "component_id", "cluster_size",
+            (F.col("id") == F.col("component_id")).alias("is_canonical"),
+        )
+    )

@@ -46,17 +46,69 @@ def char_shingles(c: Column, k: int = 5) -> Column:
     return F.array_sort(F.array_distinct(arr))
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE and make it available to ``fn`` as a bound
+    lambda variable: transform(array(expr), x -> fn(x))[0].
+
+    Catalyst's CollapseProject inlines a projected column expression
+    into EVERY downstream reference — element_at(sig, i) used 8 times
+    re-evaluates the whole signature 8 times (measured 120 s vs 4 s on
+    the sf0.1 band build). A lambda variable is a true binding the
+    optimizer cannot inline through, so shared subexpressions (shingle
+    arrays, token-hash arrays, signatures) are computed once per row."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def _hash_with_salt(j: int):
+    # closure factory: a default-arg lambda would make pyspark treat
+    # the extra parameter as a lambda variable (index column)
+    return lambda s: portable_hash_str(s, j)
+
+
 def minhash_signature(c: Column, n_hashes: int = 16, k: int = 5) -> Column:
-    """Array of n minhash values: min over shingles of salted hash."""
-    sh = char_shingles(c, k)
+    """Array of n minhash values: min over shingles of salted hash.
+    The shingle array is lambda-bound so it is computed once, not once
+    per hash."""
+    return _bind(
+        char_shingles(c, k),
+        lambda sh: F.array(
+            *[F.array_min(F.transform(sh, _hash_with_salt(j)))
+              for j in range(n_hashes)]
+        ),
+    )
 
-    def hash_with_salt(j: int):
-        # closure factory: a default-arg lambda would make pyspark treat
-        # the extra parameter as a lambda variable (index column)
-        return lambda s: portable_hash_str(s, j)
 
-    return F.array(
-        *[F.array_min(F.transform(sh, hash_with_salt(j))) for j in range(n_hashes)]
+def minhash_band_keys(
+    c: Column, n_hashes: int = 16, n_bands: int = 4, k: int = 5
+) -> Column:
+    """Array of LSH band keys ("<band>_<h>_<h>…") with BOTH the shingle
+    array and the signature lambda-bound — one shingle pass + n_hashes
+    hash passes per row, regardless of how many band keys reference
+    the signature."""
+    rows_per_band = n_hashes // n_bands
+
+    def bands_from(sig: Column) -> Column:
+        return F.array(
+            *[
+                F.concat_ws(
+                    "_",
+                    F.lit(b),
+                    *[F.element_at(sig, b * rows_per_band + j + 1)
+                      for j in range(rows_per_band)],
+                )
+                for b in range(n_bands)
+            ]
+        )
+
+    return _bind(
+        char_shingles(c, k),
+        lambda sh: _bind(
+            F.array(
+                *[F.array_min(F.transform(sh, _hash_with_salt(j)))
+                  for j in range(n_hashes)]
+            ),
+            bands_from,
+        ),
     )
 
 
@@ -93,25 +145,18 @@ def minhash_lsh_pairs(
     by construction near-identical and owned by the EXACT dedup path
     (md5 fingerprint, ``exact_dedup``), which is linear. Set 0 to
     disable."""
-    rows_per_band = n_hashes // n_bands
-    sig = minhash_signature(F.col(text_col), n_hashes, k)
-    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-    bands = with_sig.select(
-        "id",
+    bands = df.select(
+        F.col(id_col).alias("id"),
         F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        F.lit(b),
-                        *[F.element_at("sig", b * rows_per_band + j + 1)
-                          for j in range(rows_per_band)],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
+            minhash_band_keys(F.col(text_col), n_hashes, n_bands, k)
         ).alias("band_key"),
     )
+    # Force the band_key hash exchange HERE: the bucket-size agg and
+    # both sides of the self-join then hang off one identical shuffle
+    # (ReusedExchange — signatures computed once). Without it, AQE
+    # broadcast-joins the small side at low SF and each consumer
+    # recomputes the full signature scan (measured 225 s vs 6 s, sf0.1).
+    bands = bands.repartition("band_key")
     if max_bucket_size > 0:
         # one extra agg on the same band_key shuffle key; over-cap
         # buckets never enter the self-join
@@ -144,21 +189,28 @@ def simhash64(c: Column, n_bits: int = 60) -> Column:
     bit j of the signature = sign of Σ_tokens (2·((h(tok)>>j)&1) − 1).
     60 bits so the value stays in the portable-hash range."""
     toks = F.split(F.trim(F.lower(c)), r"\s+")
-    hashes = F.transform(toks, lambda t: portable_hash_str(t, 0))
 
     def bit_merge(j: int):
         return lambda acc, h: acc + (
             F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
         )
 
-    bit_sums = [
-        F.aggregate(hashes, F.lit(0).cast("long"), bit_merge(j))
-        for j in range(n_bits)
-    ]
-    out = F.lit(0).cast("long")
-    for j, s in enumerate(bit_sums):
-        out = out + F.when(s > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0))
-    return out
+    def sig_from(hashes: Column) -> Column:
+        bit_sums = [
+            F.aggregate(hashes, F.lit(0).cast("long"), bit_merge(j))
+            for j in range(n_bits)
+        ]
+        out = F.lit(0).cast("long")
+        for j, s in enumerate(bit_sums):
+            out = out + F.when(s > 0, F.lit(2 ** j).cast("long")).otherwise(
+                F.lit(0)
+            )
+        return out
+
+    # token-hash array lambda-bound: md5 per token once, not once per bit
+    return _bind(
+        F.transform(toks, lambda t: portable_hash_str(t, 0)), sig_from
+    )
 
 
 def simhash_bands(sim: Column, n_bands: int = 4, n_bits: int = 60) -> Column:

@@ -459,6 +459,133 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+ORACLES["q_ann_ivf"] = """
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+scored AS (
+  SELECT e.vec_id AS id, e.embedding AS vec, c.centroid_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.cvec::DOUBLE[]), 6) AS csim
+  FROM embeddings e, cent c
+),
+assign AS (
+  SELECT id, vec, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY csim DESC, centroid_id) AS r
+    FROM scored) WHERE r = 1
+),
+probe AS (
+  SELECT id AS query_id, vec AS qvec, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY csim DESC, centroid_id) AS r
+    FROM scored WHERE id < 10) WHERE r <= 3
+),
+cand AS (
+  SELECT p.query_id, a.id AS neighbor_id,
+         round(list_cosine_similarity(p.qvec::DOUBLE[],
+                                      a.vec::DOUBLE[]), 6) AS sim
+  FROM assign a JOIN probe p ON a.centroid_id = p.centroid_id
+  WHERE a.id <> p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+"""
+
+# Connected components as a recursive fixpoint: reach(id, lbl) = "lbl's
+# id reaches id"; min reachable label per node = component id. An
+# independent implementation of the same fixpoint the Spark side
+# computes by iterative min-label propagation.
+ORACLES["q_dedup_clusters"] = f"""
+WITH RECURSIVE sigs AS (
+  SELECT doc_id AS id,
+         [{', '.join(_minhash_j(j) for j in range(8))}] AS sig
+  FROM documents
+),
+bands AS (
+  SELECT id, unnest([
+    concat_ws('_', 0, sig[1], sig[2]),
+    concat_ws('_', 1, sig[3], sig[4]),
+    concat_ws('_', 2, sig[5], sig[6]),
+    concat_ws('_', 3, sig[7], sig[8])
+  ]) AS band_key
+  FROM sigs
+),
+edges AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.id < b.id
+),
+und AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION SELECT id_b, id_a FROM edges
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.d, reach.lbl FROM reach JOIN und u ON u.s = reach.id
+),
+comp AS (
+  SELECT id, min(lbl) AS component_id FROM reach GROUP BY id
+),
+sizes AS (
+  SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY component_id
+)
+SELECT comp.id AS doc_id, comp.component_id, sizes.cluster_size,
+       comp.id = comp.component_id AS is_canonical
+FROM comp JOIN sizes USING (component_id)
+"""
+
+
+def embed_neardup_oracle(
+    dim: int = 64, n_planes: int = 3, n_tables: int = 6,
+    threshold: float = 0.4,
+) -> str:
+    """Generated oracle for q_embed_neardup: mirrors multi-table SRP
+    bucketing with plane literals from the SAME deterministic
+    _hyperplane the Spark side uses."""
+    from sitecrawler_spark.dedup.ann import _hyperplane
+
+    def bucket_expr(table: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            plane = _hyperplane(dim, table * 1000 + p)
+            lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+                f"THEN {1 << p} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    per_table = [
+        f"SELECT vec_id, embedding, {t} AS tbl, {bucket_expr(t)} AS bucket "
+        f"FROM embeddings"
+        for t in range(n_tables)
+    ]
+    return f"""
+WITH b AS ({' UNION ALL '.join(per_table)}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM b x JOIN b y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6) AS sim
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.id_a
+  JOIN embeddings e ON e.vec_id = c.id_b
+)
+SELECT id_a, id_b, sim FROM scored WHERE sim >= {threshold}
+"""
+
+
 def crawl_e2e_oracle() -> str:
     """Oracle for q_crawl_e2e: run the single-threaded reference model
     (pure Python, no Spark) over the same deterministic site and emit

@@ -504,3 +504,46 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sess GROUP BY user_id, session_id
         """
     )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup shape): SRP-LSH
+    buckets → within-bucket self-join → exact cosine verify. Threshold
+    0.4 because the fixture embeddings carry no planted high-sim dups —
+    the pipeline shape, not the threshold, is what's under test."""
+    from sitecrawler_spark.dedup.ann import embedding_neardup_pairs
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return embedding_neardup_pairs(
+        emb, dim=64, threshold=0.4, n_planes=3, n_tables=6
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic sampled centroids (vec_id % 25),
+    nearest-centroid inverted lists, 3-probe search, exact re-rank."""
+    from sitecrawler_spark.dedup.ann import ivf_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, probes, k=5, centroid_stride=25, n_probe=3)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: minhash-LSH candidate pairs → connected
+    components (iterative min-label propagation) → canonical pick
+    (min doc_id per component). The oracle is a DuckDB recursive CTE
+    over the same edge set — an independent fixpoint implementation."""
+    from sitecrawler_spark.dedup.components import dedup_clusters
+    from sitecrawler_spark.dedup.dedup import minhash_lsh_pairs
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    edges = minhash_lsh_pairs(docs, "text", "doc_id", n_hashes=8, n_bands=4, k=5)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return dedup_clusters(nodes, edges).select(
+        F.col("id").alias("doc_id"), "component_id", "cluster_size",
+        "is_canonical",
+    )

@@ -148,3 +148,109 @@ def test_minhash_bucket_cap_guards_degenerate_buckets(spark):
     cap_pairs = {(r["id_a"], r["id_b"]) for r in capped}
     assert not any(a < 100 and b < 100 for a, b in cap_pairs)  # cluster excluded
     assert (100, 101) in cap_pairs  # near-dups below cap still found
+
+
+def test_embed_neardup_recall_vs_exact_allpairs(spark):
+    """Embedding-cosine near-dup pairs: every returned pair is verified
+    (sim >= threshold, exact), and the 6-table 3-plane SRP config holds
+    recall >= 0.75 against the exact all-pairs set at tau=0.4."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    exact = {
+        (r["ia"], r["ib"])
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", A.cosine_sim(F.col("va"), F.col("vb")).alias("s"))
+        .filter(F.col("s") >= 0.4)
+        .collect()
+    }
+    got_rows = A.embedding_neardup_pairs(
+        emb, dim=64, threshold=0.4, n_planes=3, n_tables=6
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    assert got <= exact  # no false positives: verify stage is exact
+    assert all(r["sim"] >= 0.4 for r in got_rows)
+    assert len(got & exact) / len(exact) >= 0.75
+    emb.unpersist()
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce_and_recall_monotone(spark):
+    """The IVF contract: probing every inverted list reproduces the
+    exact brute-force top-k bit-for-bit (rank included); probing more
+    lists never loses recall."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    probes = emb.filter(F.col("vec_id") < 20)
+    bf = {(r["query_id"], r["neighbor_id"], r["rank"])
+          for r in A.brute_force_topk(emb, probes).collect()}
+    # 500 ids / stride 25 = 20 centroids; n_probe=20 probes every list
+    ex = {(r["query_id"], r["neighbor_id"], r["rank"])
+          for r in A.ivf_topk(emb, probes, k=5, centroid_stride=25,
+                              n_probe=20).collect()}
+    assert ex == bf
+    bfp = {(q, n) for q, n, _ in bf}
+    recalls = []
+    for n_probe in (3, 10):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in A.ivf_topk(emb, probes, k=5, centroid_stride=25,
+                                   n_probe=n_probe).collect()}
+        recalls.append(len(got & bfp) / len(bfp))
+    assert recalls[0] >= 0.3  # uniform fixture: weak but non-trivial
+    assert recalls[1] >= recalls[0]
+    emb.unpersist()
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """Min-label propagation needs multiple rounds on a chain (diameter
+    > 1) and must leave isolated nodes in their own singleton
+    component — the LSH-derived graphs in the contract suite are dense
+    blobs that converge in one round, so this pins the loop itself."""
+    from sitecrawler_spark.dedup.components import (
+        connected_components, dedup_clusters,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    # chain 0-1-2-3-4-5 (diameter 5), triangle 6-7-8, isolates 9,10,11
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5),
+         (6, 7), (7, 8), (8, 6)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component_id"]
+            for r in connected_components(nodes, edges).collect()}
+    assert all(comp[i] == 0 for i in range(6))
+    assert all(comp[i] == 6 for i in (6, 7, 8))
+    assert all(comp[i] == i for i in (9, 10, 11))
+
+    clusters = {r["id"]: r for r in dedup_clusters(nodes, edges).collect()}
+    assert clusters[3]["cluster_size"] == 6 and not clusters[3]["is_canonical"]
+    assert clusters[0]["is_canonical"] and clusters[6]["is_canonical"]
+    assert clusters[9]["cluster_size"] == 1 and clusters[9]["is_canonical"]
+
+
+def test_kmeans_centroids_tighten_ivf_lists(spark):
+    """Distributed deterministic Lloyd k-means: returns exactly C
+    centroids of the right dim, reproduces bit-identically across runs,
+    and its centroids give IVF recall >= the no-training stride sample
+    at the same probe budget."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    cents = A.kmeans_centroids(emb, n_centroids=20, n_iters=4)
+    rows = sorted((r["vec_id"], tuple(r["embedding"])) for r in cents.collect())
+    assert len(rows) == 20 and all(len(v) == 64 for _, v in rows)
+    rows2 = sorted(
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in A.kmeans_centroids(emb, n_centroids=20, n_iters=4).collect()
+    )
+    assert rows == rows2  # deterministic — no RNG anywhere
+
+    probes = emb.filter(F.col("vec_id") < 20)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in A.brute_force_topk(emb, probes).collect()}
+
+    def recall(centroids):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in A.ivf_topk(emb, probes, k=5, centroids=centroids,
+                                   centroid_stride=25, n_probe=3).collect()}
+        return len(got & bf) / len(bf)
+
+    assert recall(cents) >= recall(None)
+    emb.unpersist()
