@@ -157,6 +157,15 @@ def main() -> None:
     qtimes["crawl_engine_e2e"] = round(cr_sec, 3)
 
     total = sum(qtimes.values())
+
+    # training-data ops measured separately — NOT in the headline total,
+    # so round-over-round "value" stays comparable to BENCH_r01
+    extra: dict[str, float] = {}
+    for name in ("q_minhash_pairs", "q_dedup_clusters", "q_embed_neardup",
+                 "q_ann_ivf", "q_simhash_pairs"):
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        extra[name] = round(time.time() - t0, 3)
     print(
         json.dumps(
             {
@@ -165,6 +174,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": qtimes,
+                "dedup_ops": extra,
                 "sf": sf,
                 "cpus": cpus,
                 "frontier_n": frontier_n,

@@ -151,6 +151,13 @@ def minhash_lsh_pairs(
             minhash_band_keys(F.col(text_col), n_hashes, n_bands, k)
         ).alias("band_key"),
     )
+    return banded_pairs(bands, max_bucket_size)
+
+
+def banded_pairs(bands: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Distinct (id_a, id_b) pairs sharing ≥1 band bucket, from a
+    (id, band_key) frame. Shared candidate-join core of minhash and
+    simhash LSH."""
     # Force the band_key hash exchange HERE: the bucket-size agg and
     # both sides of the self-join then hang off one identical shuffle
     # (ReusedExchange — signatures computed once). Without it, AQE
@@ -210,6 +217,46 @@ def simhash64(c: Column, n_bits: int = 60) -> Column:
     # token-hash array lambda-bound: md5 per token once, not once per bit
     return _bind(
         F.transform(toks, lambda t: portable_hash_str(t, 0)), sig_from
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bits: int = 24,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """SimHash near-dup pairs: banding guarantees every pair within
+    Hamming distance < n_bands shares ≥1 exact band bucket; candidates
+    are then verified exactly (bit_count of xor ≤ max_hamming). Same
+    one-shuffle banded-join shape as minhash_lsh_pairs. Returns
+    (id_a, id_b, hamming)."""
+    sims = df.select(
+        F.col(id_col).alias("id"),
+        simhash64(F.col(text_col), n_bits).alias("sim"),
+    )
+    bands = sims.select(
+        "id", F.explode(simhash_bands(F.col("sim"), n_bands, n_bits)).alias(
+            "band_key"
+        ),
+    )
+    cand = banded_pairs(bands, max_bucket_size)
+    # verify on candidates only — join the (small) signature table back
+    sa = sims.select(F.col("id").alias("id_a"), F.col("sim").alias("_sa"))
+    sb = sims.select(F.col("id").alias("id_b"), F.col("sim").alias("_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.bit_count(
+                F.col("_sa").bitwiseXOR(F.col("_sb"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -459,6 +459,31 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+ORACLES["q_simhash_pairs"] = f"""
+WITH sims AS (
+  SELECT doc_id AS id, ({_simhash_terms})::BIGINT AS sim FROM documents
+),
+bands AS (
+  SELECT id, unnest([
+    concat_ws('_', 0, (sim >> 0) & 63),
+    concat_ws('_', 1, (sim >> 6) & 63),
+    concat_ws('_', 2, (sim >> 12) & 63),
+    concat_ws('_', 3, (sim >> 18) & 63)
+  ]) AS band_key
+  FROM sims
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       bit_count(xor(sa.sim, sb.sim))::INTEGER AS hamming
+FROM cand c
+JOIN sims sa ON sa.id = c.id_a
+JOIN sims sb ON sb.id = c.id_b
+WHERE bit_count(xor(sa.sim, sb.sim)) <= 8
+"""
+
 ORACLES["q_ann_ivf"] = """
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec

@@ -506,6 +506,18 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band-bucket candidates + exact Hamming
+    verify (≤ 8 of 24 bits — loose enough to yield pairs on the
+    fixture corpus)."""
+    from sitecrawler_spark.dedup.dedup import simhash_pairs
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return simhash_pairs(docs, "text", "doc_id", n_bits=24, n_bands=4,
+                         max_hamming=8)
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup shape): SRP-LSH
     buckets → within-bucket self-join → exact cosine verify. Threshold

@@ -254,3 +254,35 @@ def test_kmeans_centroids_tighten_ivf_lists(spark):
 
     assert recall(cents) >= recall(None)
     emb.unpersist()
+
+
+def test_connected_components_matches_union_find_property(spark):
+    """Property check: min-label propagation equals a pure-Python
+    union-find on pseudo-random graphs (deterministic seeds)."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        n = 40
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                        for _ in range(25)})
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+
+        from sitecrawler_spark.dedup.components import connected_components
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["component_id"]
+               for r in connected_components(nodes, e).collect()}
+        assert got == want, f"seed {seed}"
