@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_pairs": _queries.q_minhash_pairs,
         "q_simhash": _queries.q_simhash,
         "q_simhash_pairs": _queries.q_simhash_pairs,
+        "q_training_pipeline": _queries.q_training_pipeline,
         "q_ngram_jaccard": _queries.q_ngram_jaccard,
         "q_ann_bruteforce": _queries.q_ann_bruteforce,
         "q_ann_lsh": _queries.q_ann_lsh,

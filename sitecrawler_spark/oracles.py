@@ -459,6 +459,92 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+_PIPE_SHINGLES = _SHINGLES  # shingles over `text` — valid inside any CTE
+
+
+def _pipe_minhash_j(j: int) -> str:
+    return (
+        f"list_min(list_transform({_PIPE_SHINGLES}, "
+        f"s -> ('0x' || substr(md5(concat(s, '#{j}')), 1, 15))::BIGINT))"
+    )
+
+
+ORACLES["q_training_pipeline"] = f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id, text,
+    round(
+      least(length(text) / 500.0, 1.0) * 0.3
+    + least({_stopcount('en')}
+        / greatest(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END, 1.0) * 4.0,
+        1.0) * 0.4
+    + (1.0 - least(len(regexp_extract_all(text, '{_PUNCT_RE}'))
+        / greatest(length(text), 1.0) * 10.0, 1.0)) * 0.2
+    + (1.0 - least(len(regexp_extract_all(text, '[A-Z]'))
+        / greatest(length(text), 1.0) * 10.0, 1.0)) * 0.1
+    , 4) AS quality,
+    CASE WHEN greatest({_stopcount('en')}, {_stopcount('fr')},
+                       {_stopcount('de')}, {_stopcount('es')}) = 0 THEN 'und'
+         WHEN {_stopcount('en')} = greatest({_stopcount('en')}, {_stopcount('fr')},
+                       {_stopcount('de')}, {_stopcount('es')}) THEN 'en'
+         WHEN {_stopcount('fr')} = greatest({_stopcount('en')}, {_stopcount('fr')},
+                       {_stopcount('de')}, {_stopcount('es')}) THEN 'fr'
+         WHEN {_stopcount('de')} = greatest({_stopcount('en')}, {_stopcount('fr')},
+                       {_stopcount('de')}, {_stopcount('es')}) THEN 'de'
+         ELSE 'es' END AS lang_pred,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+kept AS (
+  SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
+),
+uniqd AS (
+  SELECT doc_id, text, quality, lang_pred, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5({_NORM})
+                                 ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1
+),
+sigs AS (
+  SELECT doc_id AS id,
+         [{', '.join(_pipe_minhash_j(j) for j in range(8))}] AS sig
+  FROM uniqd
+),
+bands AS (
+  SELECT id, unnest([
+    concat_ws('_', 0, sig[1], sig[2]),
+    concat_ws('_', 1, sig[3], sig[4]),
+    concat_ws('_', 2, sig[5], sig[6]),
+    concat_ws('_', 3, sig[7], sig[8])
+  ]) AS band_key
+  FROM sigs
+),
+edges AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.id < b.id
+),
+und AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION SELECT id_b, id_a FROM edges
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM uniqd
+  UNION
+  SELECT u.d, reach.lbl FROM reach JOIN und u ON u.s = reach.id
+),
+comp AS (
+  SELECT id, min(lbl) AS component_id FROM reach GROUP BY id
+),
+sizes AS (
+  SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY component_id
+)
+SELECT u.doc_id, u.lang_pred, u.quality, u.n_tokens, s.cluster_size
+FROM comp
+JOIN sizes s USING (component_id)
+JOIN uniqd u ON u.doc_id = comp.id
+WHERE comp.id = comp.component_id
+"""
+
 ORACLES["q_simhash_pairs"] = f"""
 WITH sims AS (
   SELECT doc_id AS id, ({_simhash_terms})::BIGINT AS sim FROM documents

@@ -506,6 +506,43 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline over documents: quality score +
+    lang-id + token count → keep (quality ≥ 0.5, en) → exact dedup →
+    minhash-LSH near-dup clustering → canonical docs with their cluster
+    sizes. Each stage is the already-gated operator; this query gates
+    the COMPOSITION (filters push into the scan; dedup/cluster shuffles
+    run over the filtered survivor set only)."""
+    from sitecrawler_spark.dedup.components import dedup_clusters
+    from sitecrawler_spark.dedup.dedup import exact_dedup, minhash_lsh_pairs
+    from sitecrawler_spark.textops.functions import (
+        lang_id, quality_score, token_count_ws,
+    )
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    scored = docs.select(
+        "doc_id", "text",
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        token_count_ws(F.col("text")).alias("n_tokens"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+    )
+    uniq = exact_dedup(kept, "text", "doc_id")
+    edges = minhash_lsh_pairs(uniq, "text", "doc_id",
+                              n_hashes=8, n_bands=4, k=5)
+    clusters = dedup_clusters(
+        uniq.select(F.col("doc_id").alias("id")), edges
+    )
+    return (
+        clusters.filter(F.col("is_canonical"))
+        .join(uniq, clusters.id == uniq.doc_id)
+        .select("doc_id", "lang_pred", "quality", "n_tokens", "cluster_size")
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: band-bucket candidates + exact Hamming
     verify (≤ 8 of 24 bits — loose enough to yield pairs on the
