@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _queries.q_simhash,
         "q_simhash_pairs": _queries.q_simhash_pairs,
         "q_training_pipeline": _queries.q_training_pipeline,
+        "q_pagerank": _queries.q_pagerank,
         "q_ngram_jaccard": _queries.q_ngram_jaccard,
         "q_ann_bruteforce": _queries.q_ann_bruteforce,
         "q_ann_lsh": _queries.q_ann_lsh,
@@ -97,4 +98,5 @@ def oracle_sql() -> dict[str, str]:
     out["q_crawl_e2e"] = _oracles.crawl_e2e_oracle()
     out["q_ann_lsh_multi"] = _oracles.ann_lsh_multi_oracle()
     out["q_embed_neardup"] = _oracles.embed_neardup_oracle()
+    out["q_pagerank"] = _oracles.pagerank_oracle()
     return out

@@ -653,6 +653,40 @@ FROM comp JOIN sizes USING (component_id)
 """
 
 
+def pagerank_oracle(n_iters: int = 5, damping: float = 0.85) -> str:
+    """Generated oracle for q_pagerank: the PageRank recurrence unrolled
+    as one plain aggregate-join CTE per iteration (DuckDB's recursive
+    CTEs prohibit GROUP BY in the recursive term, so unrolling IS the
+    honest SQL expression of a fixed-iteration rank)."""
+    from sitecrawler_spark.queries import PAGERANK_EDGES_SQL
+
+    base = 1.0 - damping
+    ctes = [
+        f"nodes AS (SELECT doc_id AS id FROM documents)",
+        f"nn AS (SELECT count(*) AS n FROM documents)",
+        f"edges AS ({PAGERANK_EDGES_SQL})",
+        "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT nodes.id,
+         {base} / (SELECT n FROM nn)
+         + {damping} * COALESCE(s.s, 0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, sum(r{i - 1}.rank / deg.out_deg) AS s
+    FROM edges e
+    JOIN r{i - 1} ON r{i - 1}.id = e.src
+    JOIN deg ON deg.src = e.src
+    GROUP BY e.dst) s USING (id)
+)""")
+        # noqa: the join on deg is per-edge constant lookup
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id, round(rank, 6) AS rank FROM r{n_iters}"
+    )
+
+
 def embed_neardup_oracle(
     dim: int = 64, n_planes: int = 3, n_tables: int = 6,
     threshold: float = 0.4,

@@ -506,6 +506,38 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic link graph derived from documents — VALID IN BOTH
+# Spark SQL and DuckDB (keep dialect-neutral). Three modular-arithmetic
+# out-edges per doc, self-loops excluded.
+PAGERANK_EDGES_SQL = """
+SELECT src, dst FROM (
+  SELECT doc_id AS src, (doc_id * 2 + 1) % t.n AS dst
+  FROM documents, (SELECT count(*) AS n FROM documents) t
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 2) % t.n
+  FROM documents, (SELECT count(*) AS n FROM documents) t
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 5) % t.n
+  FROM documents, (SELECT count(*) AS n FROM documents) t
+) e
+WHERE src <> dst
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over a deterministic derived link graph
+    (the post-crawl link-analysis op). 5 iterations, d=0.85; oracle is
+    the same recurrence unrolled as SQL CTEs."""
+    from sitecrawler_spark.operators.graph import pagerank
+
+    register_views(spark, sf_dir)
+    edges = spark.sql(PAGERANK_EDGES_SQL)
+    nodes = spark.table("documents").select(F.col("doc_id").alias("id"))
+    return pagerank(nodes, edges, n_iters=5).select(
+        F.col("id").alias("doc_id"), "rank"
+    )
+
+
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline over documents: quality score +
     lang-id + token count → keep (quality ≥ 0.5, en) → exact dedup →

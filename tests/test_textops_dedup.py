@@ -286,3 +286,24 @@ def test_connected_components_matches_union_find_property(spark):
         got = {r["id"]: r["component_id"]
                for r in connected_components(nodes, e).collect()}
         assert got == want, f"seed {seed}"
+
+
+def test_pagerank_star_graph_semantics(spark):
+    """PageRank sanity on a star: the hub (all in-edges) outranks the
+    leaves; leaves tie exactly; with no dangling nodes total mass is
+    conserved at 1."""
+    from sitecrawler_spark.operators.graph import pagerank
+
+    n = 6
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    # leaves 1..5 -> hub 0; hub -> 1 (so no dangling mass loss)
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, n)] + [(0, 1)], "src long, dst long"
+    )
+    r = {row["id"]: row["rank"]
+         for row in pagerank(nodes, edges, n_iters=10).collect()}
+    # hub and its sole outlink hold ~90% of mass; unfed leaves sit at
+    # the teleport floor (1-d)/n and tie exactly
+    assert min(r[0], r[1]) > 10 * r[2]
+    assert r[2] == r[3] == r[4] == r[5] == round(0.15 / 6, 6)
+    assert abs(sum(r.values()) - 1.0) < 1e-4
