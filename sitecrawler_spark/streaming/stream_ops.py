@@ -93,6 +93,26 @@ def stateful_user_counts(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on the key
+    columns — the ingest-side analog of dedup.exact_dedup. State per key
+    is evicted once the watermark passes, so memory is bounded by the
+    key cardinality of one watermark interval, not of the whole stream
+    (the property that makes exact dedup viable on an unbounded crawl
+    feed). Duplicates arriving within the watermark window are
+    suppressed; older re-arrivals are the late-data tradeoff every
+    watermarked operator shares."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> None:
     """Drain all available input into an in-memory table (tests/dev)."""
     q = (

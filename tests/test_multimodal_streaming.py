@@ -109,3 +109,27 @@ def test_stateful_user_counts(spark, events_dir):
         .groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == exp
+
+
+def test_streaming_dedup_drops_within_watermark(spark, events_dir, tmp_path):
+    """A duplicated input file (every event twice) streams through
+    dropDuplicatesWithinWatermark to exactly the batch-distinct rows."""
+    import shutil as _sh
+
+    from sitecrawler_spark.streaming import stream_ops as S
+
+    dup_dir = tmp_path / "dup_stream"
+    dup_dir.mkdir()
+    _sh.copy(events_dir + "/part-0.parquet", dup_dir / "part-0.parquet")
+    _sh.copy(events_dir + "/part-0.parquet", dup_dir / "part-1.parquet")
+
+    out = S.streaming_dedup(spark, str(dup_dir), keys=["event_id"])
+    S.run_to_memory(out, "dedup_stream", mode="append")
+    got = spark.table("dedup_stream").count()
+    exp = spark.read.parquet(str(dup_dir)).select("event_id").distinct().count()
+    assert got == exp
+    # and keys are unique in the output
+    assert (
+        spark.table("dedup_stream").groupBy("event_id").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
