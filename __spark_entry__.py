@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": _queries.q_simhash_pairs,
         "q_training_pipeline": _queries.q_training_pipeline,
         "q_pagerank": _queries.q_pagerank,
+        "q_doc_chunks": _queries.q_doc_chunks,
+        "q_word_freq": _queries.q_word_freq,
         "q_ngram_jaccard": _queries.q_ngram_jaccard,
         "q_ann_bruteforce": _queries.q_ann_bruteforce,
         "q_ann_lsh": _queries.q_ann_lsh,

@@ -653,6 +653,38 @@ FROM comp JOIN sizes USING (component_id)
 """
 
 
+ORACLES["q_doc_chunks"] = """
+WITH c AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, len(string_split_regex(trim(text), '\\s+')) + 1, 48),
+      s -> array_to_string(
+        (string_split_regex(trim(text), '\\s+'))[s:s + 63], ' ')
+    ) AS chunks
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         unnest(chunks) AS chunk_text,
+         generate_subscripts(chunks, 1) - 1 AS chunk_id
+  FROM c
+)
+SELECT doc_id, chunk_id, chunk_text,
+       len(string_split_regex(chunk_text, '\\s+')) AS n_chunk_tokens
+FROM e WHERE chunk_text <> ''
+"""
+
+ORACLES["q_word_freq"] = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+)
+SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM t WHERE word <> '' GROUP BY word
+"""
+
+
 def pagerank_oracle(n_iters: int = 5, damping: float = 0.85) -> str:
     """Generated oracle for q_pagerank: the PageRank recurrence unrolled
     as one plain aggregate-join CTE per iteration (DuckDB's recursive

@@ -524,6 +524,41 @@ WHERE src <> dst
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (64-token windows, 16 overlap): doc_id,
+    chunk_id, chunk text, chunk token count — the context-window prep
+    stage of a training pipeline."""
+    from sitecrawler_spark.textops.functions import chunk_texts
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    out = docs.select(
+        "doc_id",
+        F.posexplode(chunk_texts(F.col("text"), 64, 16)).alias(
+            "chunk_id", "chunk_text"
+        ),
+    ).filter(F.col("chunk_text") != "")
+    return out.select(
+        "doc_id", "chunk_id", "chunk_text",
+        F.size(F.split(F.col("chunk_text"), r"\s+")).alias("n_chunk_tokens"),
+    )
+
+
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with frequencies (vocab-building stage):
+    lowercase whitespace tokens, counts + document frequency."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return toks.groupBy("word").agg(
+        F.count("*").alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over a deterministic derived link graph
     (the post-crawl link-analysis op). 5 iterations, d=0.85; oracle is

@@ -107,3 +107,16 @@ def rolling_hash64(c: Column, window: int = 16) -> Column:
         ).cast("long"),
     )
     return F.array_min(windows)
+
+
+def chunk_texts(c: Column, chunk: int = 64, overlap: int = 16) -> Column:
+    """Token-window chunking with overlap — context-window prep for
+    training pipelines. Whitespace tokens, windows of ``chunk`` tokens
+    every ``chunk - overlap`` tokens, last window ragged. Pure Column
+    expression (sequence + slice), one pass per row."""
+    stride = chunk - overlap
+    toks = F.split(F.trim(c), r"\s+")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+    return F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s, chunk), " ")
+    )
