@@ -70,3 +70,31 @@ def test_lineitem_pricing_pushes_partial_agg(spark):
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "Exchange" in plan  # exactly the one agg shuffle
+
+
+def test_minhash_pairs_shuffles_on_band_key(spark):
+    """The band_key hash exchange must sit under the self-join (one
+    reusable shuffle for sizes + both join sides at scale); and the
+    whole dedup path stays JVM-native."""
+    df = Q.q_minhash_pairs(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "hashpartitioning(band_key" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_broadcasts_centroids(spark):
+    """Both IVF scoring joins must broadcast the small centroid table —
+    a shuffle of corpus×centroids would be the wrong plan."""
+    df = Q.q_ann_ivf(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastExchange") >= 2, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_vector_queries_are_jvm_native(spark):
+    for name in ["q_embed_neardup", "q_simhash_pairs", "q_doc_chunks",
+                 "q_word_freq", "q_training_pipeline"]:
+        df = getattr(Q, name)(spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
