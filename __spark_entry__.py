@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": _queries.q_pagerank,
         "q_doc_chunks": _queries.q_doc_chunks,
         "q_word_freq": _queries.q_word_freq,
+        "q_media_meta": _queries.q_media_meta,
         "q_ngram_jaccard": _queries.q_ngram_jaccard,
         "q_ann_bruteforce": _queries.q_ann_bruteforce,
         "q_ann_lsh": _queries.q_ann_lsh,

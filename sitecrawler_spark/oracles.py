@@ -653,6 +653,15 @@ FROM comp JOIN sizes USING (component_id)
 """
 
 
+ORACLES["q_media_meta"] = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS checksum,
+       lower(substring(hex(encode(text)), 1, 8)) AS magic_hex,
+       octet_length(encode(text)) = length(text) AS is_ascii
+FROM documents
+"""
+
 ORACLES["q_doc_chunks"] = """
 WITH c AS (
   SELECT doc_id,

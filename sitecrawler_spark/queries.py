@@ -524,6 +524,24 @@ WHERE src <> dst
 """
 
 
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction (the multimodal column model:
+    binary payload + typed metadata): byte length, md5 checksum, magic
+    prefix, ascii-ness — all JVM-native over a deterministic binary
+    column derived from text (the sandbox has no real codecs; the
+    decode stage proper is the mapInPandas path in multimodal.py)."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    b = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(b).alias("n_bytes"),
+        F.md5(b).alias("checksum"),
+        F.lower(F.substring(F.hex(b), 1, 8)).alias("magic_hex"),
+        (F.length(b) == F.length(F.col("text"))).alias("is_ascii"),
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (64-token windows, 16 overlap): doc_id,
     chunk_id, chunk text, chunk token count — the context-window prep
