@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_chunks": _queries.q_doc_chunks,
         "q_word_freq": _queries.q_word_freq,
         "q_media_meta": _queries.q_media_meta,
+        "q_ann_kmeans": _queries.q_ann_kmeans,
         "q_ngram_jaccard": _queries.q_ngram_jaccard,
         "q_ann_bruteforce": _queries.q_ann_bruteforce,
         "q_ann_lsh": _queries.q_ann_lsh,
@@ -102,4 +103,5 @@ def oracle_sql() -> dict[str, str]:
     out["q_ann_lsh_multi"] = _oracles.ann_lsh_multi_oracle()
     out["q_embed_neardup"] = _oracles.embed_neardup_oracle()
     out["q_pagerank"] = _oracles.pagerank_oracle()
+    out["q_ann_kmeans"] = _oracles.ann_kmeans_oracle()
     return out

@@ -278,7 +278,11 @@ def kmeans_centroids(
             rows.join(F.broadcast(cent))
             .select(
                 "id", "vec", "centroid_id",
-                cosine_sim(F.col("vec"), F.col("cvec")).alias("csim"),
+                # rounded before argmax (same rationale as ivf_topk):
+                # engine-order float summation can't flip an assignment
+                F.round(
+                    cosine_sim(F.col("vec"), F.col("cvec")), 6
+                ).alias("csim"),
             )
             .groupBy("id")
             .agg(

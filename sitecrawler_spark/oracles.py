@@ -694,6 +694,87 @@ FROM t WHERE word <> '' GROUP BY word
 """
 
 
+def ann_kmeans_oracle(
+    n_centroids: int = 20, n_iters: int = 2, init_stride: int = 25,
+    k: int = 5, n_probe: int = 3,
+) -> str:
+    """Generated oracle for q_ann_kmeans: the Lloyd iterations unrolled
+    as SQL CTEs (assignment = rounded-cosine argmax; update = per-dim
+    mean re-assembled in dim order, cast to FLOAT exactly like the
+    Spark side so both engines quantize the new centroids identically),
+    then the same 3-probe IVF search as q_ann_ivf."""
+    ctes = [f"""cent0 AS (
+  SELECT centroid_id, cvec FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+           embedding AS cvec
+    FROM embeddings WHERE vec_id % {init_stride} = 0) s
+  WHERE centroid_id < {n_centroids}
+)"""]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""assign{i} AS (
+  SELECT id, vec, centroid_id FROM (
+    SELECT id, vec, centroid_id,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY csim DESC, centroid_id) AS r
+    FROM (
+      SELECT e.vec_id AS id, e.embedding AS vec, c.centroid_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          c.cvec::DOUBLE[]), 6) AS csim
+      FROM embeddings e, cent{i - 1} c) s1) s2
+  WHERE r = 1
+),
+upd{i} AS (
+  SELECT centroid_id, (list(m ORDER BY dim))::FLOAT[] AS cvec FROM (
+    SELECT centroid_id, dim, avg(val) AS m FROM (
+      SELECT centroid_id, unnest(vec) AS val,
+             generate_subscripts(vec, 1) AS dim
+      FROM assign{i}) u1
+    GROUP BY centroid_id, dim) u2
+  GROUP BY centroid_id
+),
+cent{i} AS (
+  SELECT * FROM upd{i}
+  UNION ALL
+  SELECT c.* FROM cent{i - 1} c
+  LEFT JOIN upd{i} u USING (centroid_id) WHERE u.centroid_id IS NULL
+)""")
+    final = f"""scored AS (
+  SELECT e.vec_id AS id, e.embedding AS vec, c.centroid_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.cvec::DOUBLE[]), 6) AS csim
+  FROM embeddings e, cent{n_iters} c
+),
+assign AS (
+  SELECT id, vec, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY csim DESC, centroid_id) AS r
+    FROM scored) s WHERE r = 1
+),
+probe AS (
+  SELECT id AS query_id, vec AS qvec, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY csim DESC, centroid_id) AS r
+    FROM scored WHERE id < 10) s WHERE r <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.id AS neighbor_id,
+         round(list_cosine_similarity(p.qvec::DOUBLE[],
+                                      a.vec::DOUBLE[]), 6) AS sim
+  FROM assign a JOIN probe p ON a.centroid_id = p.centroid_id
+  WHERE a.id <> p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM cand
+)"""
+    return (
+        "WITH " + ",\n".join(ctes) + ",\n" + final
+        + f"\nSELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= {k}"
+    )
+
+
 def pagerank_oracle(n_iters: int = 5, damping: float = 0.85) -> str:
     """Generated oracle for q_pagerank: the PageRank recurrence unrolled
     as one plain aggregate-join CTE per iteration (DuckDB's recursive

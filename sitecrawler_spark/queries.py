@@ -524,6 +524,21 @@ WHERE src <> dst
 """
 
 
+def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over TRAINED centroids: 2 deterministic Lloyd
+    iterations (distributed: broadcast assignment + posexplode mean
+    update), then 3-probe IVF. The oracle unrolls the same two
+    iterations as SQL CTEs — gating the iterative trainer itself, not
+    just the search."""
+    from sitecrawler_spark.dedup.ann import ivf_topk, kmeans_centroids
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cents = kmeans_centroids(emb, n_centroids=20, n_iters=2, init_stride=25)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, probes, k=5, centroids=cents, n_probe=3)
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary metadata extraction (the multimodal column model:
     binary payload + typed metadata): byte length, md5 checksum, magic
