@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -226,7 +226,12 @@ class SparkSiteCrawler:
         # ---- politeness budget (target-only; north rule) ------------------
         ok = ok.withColumn("host", K.url_host(F.col("full_url")))
         # materialize the dequeue-check result once: politeness,
-        # deferred-frontier derivation, and admission all reuse it
+        # deferred-frontier derivation, and admission all reuse it.
+        # Observations piggyback the per-wave scalar metrics on the
+        # checkpoint actions themselves — no extra count()/collect()
+        # jobs per wave (each was a full driver round-trip).
+        obs_ok = Observation(f"e{id(self)}_w{wave}_ok")
+        ok = ok.observe(obs_ok, F.count(F.lit(1)).alias("c"))
         ok = ok.localCheckpoint(eager=True)
         if cfg.politeness_budget > 0:
             budget = cfg.politeness_budget
@@ -260,10 +265,16 @@ class SparkSiteCrawler:
         if cfg.max_wave_size > 0:
             fetch_set = fetch_set.orderBy("discovery_order").limit(cfg.max_wave_size)
         if fetch_set is not ok:
-            fetch_set = fetch_set.localCheckpoint(eager=True)
-        # else: no cap narrowed the wave — ok is already checkpointed, a
-        # second materialization of the identical frame is pure waste
-        n_fetched = fetch_set.count()
+            obs_fs = Observation(f"e{id(self)}_w{wave}_fs")
+            fetch_set = fetch_set.observe(
+                obs_fs, F.count(F.lit(1)).alias("c")
+            ).localCheckpoint(eager=True)
+            n_fetched = int(obs_fs.get["c"])
+        else:
+            # no cap narrowed the wave — ok is already checkpointed (a
+            # second materialization of the identical frame is pure
+            # waste) and its observed count IS the wave size
+            n_fetched = int(obs_ok.get["c"])
         if n_fetched == 0:
             self.frontier = frontier.limit(0).localCheckpoint(eager=True)
             return {"wave": wave, "fetched": 0, "admitted": 0, "stopped": True}
@@ -333,8 +344,11 @@ class SparkSiteCrawler:
                 & (F.col("retry_count") < cfg.max_retries)
             )
             if not retry.isEmpty():
-                retry = retry.localCheckpoint(eager=True)
-                n_retried = retry.count()
+                obs_r = Observation(f"e{id(self)}_w{wave}_retry")
+                retry = retry.observe(
+                    obs_r, F.count(F.lit(1)).alias("c")
+                ).localCheckpoint(eager=True)
+                n_retried = int(obs_r.get["c"])
                 # un-see: remove exact strings; cuckoo supports true
                 # delete, bloom stays stale (exact backstop keeps
                 # correctness, only prefilter selectivity degrades)
@@ -369,27 +383,37 @@ class SparkSiteCrawler:
                 new_frontier = new_frontier.unionByName(requeue)
 
         # ---- commit -------------------------------------------------------
+        obs_p = Observation(f"e{id(self)}_w{wave}_pages")
         pages_out = pages.select(
             "full_url", "host", F.lit(wave).alias("wave"), "discovery_order",
             "eff_status", "error_code", "spans",
+        ).observe(
+            obs_p,
+            F.count(F.when(F.col("error_code").isNotNull(), 1)).alias("ne"),
         ).localCheckpoint(eager=True)
         links_part = links_out.localCheckpoint(eager=True)
-        self.frontier = new_frontier.localCheckpoint(eager=True)
+        # the frontier checkpoint's observation does double duty:
+        # frontier size (metrics) + running max discovery_order
+        # (carried forward for the next wave) — previously a separate
+        # 1-row agg job per wave
+        obs_f = Observation(f"e{id(self)}_w{wave}_frontier")
+        self.frontier = new_frontier.observe(
+            obs_f,
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(
+                F.max("discovery_order"), F.lit(self._max_order)
+            ).alias("m"),
+        ).localCheckpoint(eager=True)
         if ins_part is not None:
             self._visited_parts.append(ins_part)
         self._pages_parts.append(pages_out)
         self._links_parts.append(links_part)
         self.visited_counter += n_fetched
-        # one agg does double duty: frontier size (metrics) + running
-        # max discovery_order (carried forward for the next wave)
-        row = self.frontier.agg(
-            F.count("*").alias("c"),
-            F.coalesce(F.max("discovery_order"), F.lit(self._max_order)).alias("m"),
-        ).collect()[0]
-        n_admitted = row["c"]
+        row = obs_f.get
+        n_admitted = int(row["c"])
         self._max_order = int(row["m"])
         wall = time.time() - t0
-        n_errors = pages_out.filter(F.col("error_code").isNotNull()).count()
+        n_errors = int(obs_p.get["ne"])
         metrics = {
             "wave": wave, "fetched": n_fetched, "errors": n_errors,
             "retried": n_retried,
