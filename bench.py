@@ -162,7 +162,9 @@ def main() -> None:
     # so round-over-round "value" stays comparable to BENCH_r01
     extra: dict[str, float] = {}
     for name in ("q_minhash_pairs", "q_dedup_clusters", "q_embed_neardup",
-                 "q_ann_ivf", "q_simhash_pairs"):
+                 "q_ann_ivf", "q_ann_kmeans", "q_simhash_pairs",
+                 "q_training_pipeline", "q_pagerank", "q_doc_chunks",
+                 "q_word_freq"):
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         extra[name] = round(time.time() - t0, 3)
