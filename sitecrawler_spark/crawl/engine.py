@@ -140,14 +140,55 @@ class SparkSiteCrawler:
 
     # -- seeding -------------------------------------------------------------
 
+    def seed_from_files(self, paths: list[str]) -> None:
+        """Seed the frontier from seed-list files (one raw path per
+        line, blanks and '#' comments skipped) — the file-backed analog
+        of setIncludePath (SiteCrawler.java:437-448; the reference's
+        callers read path collections from files). Line order within a
+        file and file order across ``paths`` define seed order, matching
+        the reference's collection iteration order. Reads distributed
+        (spark.read.text), so a billion-seed list never lands on the
+        driver."""
+        dfs = []
+        for i, p in enumerate(paths):
+            # per-file read keeps cross-file ordering deterministic
+            # regardless of glob/listing order; within a file,
+            # monotonically_increasing_id orders by (split, offset) =
+            # physical line order
+            df = self.spark.read.text(p).select(
+                F.trim(F.col("value")).alias("raw_url"),
+                F.lit(i).alias("_file"),
+                F.monotonically_increasing_id().alias("_line"),
+            )
+            dfs.append(df)
+        allseeds = dfs[0]
+        for d in dfs[1:]:
+            allseeds = allseeds.unionByName(d)
+        allseeds = allseeds.filter(
+            (F.col("raw_url") != "") & ~F.col("raw_url").startswith("#")
+        )
+        ordered = assign_global_order(
+            allseeds, ["_file", "_line"], "seed_order", start=0,
+            num_partitions=self.cfg.order_partitions,
+        ).select("raw_url", "seed_order")
+        self._seed_from_df(ordered)
+
     def seed(self, seed_paths: list[str] | None = None) -> None:
         """setIncludePath (SiteCrawler.java:437-448) + navigate() default
         seed (:621-628). Raw paths are enqueued; exclusion is checked on
         the base-prepended form; duplicates keep first occurrence."""
-        cfg = self.cfg
         spark = self.spark
         rows = [(p, i) for i, p in enumerate(seed_paths or [])]
         df = spark.createDataFrame(rows, ["raw_url", "seed_order"]) if rows else None
+        self._seed_from_df(df)
+
+    def _seed_from_df(self, df: DataFrame | None) -> None:
+        """Shared distributed seeding core: admission filter on the
+        base-prepended form, keep-first dedup, FIFO discovery order —
+        entirely DataFrame ops, so a billion-row seed list never touches
+        the driver."""
+        cfg = self.cfg
+        spark = self.spark
         if df is not None:
             full = self._full_url(F.col("raw_url"))
             df = df.filter(~K.is_excluded_static(full, cfg))

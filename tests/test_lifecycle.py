@@ -110,3 +110,32 @@ def test_submit_cli_surface(tmp_path):
     with open(os.path.join(state, "_snapshots", sorted(snaps)[-1])) as f:
         m = json.load(f)
     assert m["meta"]["visited_counter"] > 0
+
+
+def test_seed_from_files_matches_list_seed(spark, tmp_path):
+    """File-backed seeding (setIncludePath from seed-list files) equals
+    list seeding: same frontier rows, same discovery order; comments and
+    blank lines skipped; cross-file order = file argument order."""
+    from sitecrawler_spark.config import CrawlerConfig
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+
+    f1 = tmp_path / "seeds1.txt"
+    f1.write_text("/a.html\n\n# comment\n/b.html\n/a.html\n")
+    f2 = tmp_path / "seeds2.txt"
+    f2.write_text("/c.html\n/logout/x.html\n")
+    cfg = CrawlerConfig(
+        base_url="http://www.salesforce.com",
+        base_url_secure="https://www.salesforce.com",
+        blocked=["/logout"],
+    )
+    eng_f = SparkSiteCrawler(spark, cfg, web_df=None)
+    eng_f.seed_from_files([str(f1), str(f2)])
+    got = [(r["raw_url"], r["discovery_order"])
+           for r in eng_f.frontier.orderBy("discovery_order").collect()]
+
+    eng_l = SparkSiteCrawler(spark, cfg, web_df=None)
+    eng_l.seed(["/a.html", "/b.html", "/a.html", "/c.html", "/logout/x.html"])
+    want = [(r["raw_url"], r["discovery_order"])
+            for r in eng_l.frontier.orderBy("discovery_order").collect()]
+    assert got == want
+    assert [u for u, _ in got] == ["/a.html", "/b.html", "/c.html"]
