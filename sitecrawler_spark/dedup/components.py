@@ -72,6 +72,92 @@ def connected_components(
     return labels.select("id", F.col("label").alias("component_id"))
 
 
+def _large_star(und: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. 2014): every node connects its
+    strictly-larger neighbors to the minimum of its closed
+    neighborhood. und = (u, v) with both orientations present."""
+    mins = und.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = F.least(F.col("_mn"), F.col("u"))
+    return (
+        und.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), m.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    """Small-star round: canonicalize edges to point at the smaller
+    endpoint, then every node connects its smaller-or-equal neighbors
+    (and itself) to the minimum of that set."""
+    down = pairs.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = down.groupBy("u").agg(F.min("v").alias("_mn"))
+    withm = down.join(mins, "u")
+    to_min = withm.select(F.col("v").alias("a"), F.col("_mn").alias("b"))
+    self_to_min = withm.select(
+        F.col("u").alias("a"), F.col("_mn").alias("b")
+    ).distinct()
+    return (
+        to_min.unionByName(self_to_min)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_alternating(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — O(log n) rounds on ANY graph, vs O(diameter) for
+    min-label propagation. Use this for long-chain/adversarial graphs;
+    propagation wins on the dense small-diameter blobs near-dup
+    pipelines produce. Same output contract as connected_components
+    (equality property-tested on random graphs + a 64-chain)."""
+    pairs = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        und = pairs.select("a", "b").unionByName(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+        pairs = _small_star(_large_star(und)).localCheckpoint(eager=True)
+        # fixpoint witness: count + xor of endpoint hashes (one 1-row
+        # agg; xor is order-independent and cannot overflow under ANSI)
+        sig = tuple(
+            pairs.agg(
+                F.count(F.lit(1)),
+                F.expr("bit_xor(xxhash64(a, b))"),
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at the fixpoint, pairs is a star forest (leaf → min root)
+    labels = nodes.select(F.col(id_col).alias("id")).join(
+        pairs.select(F.col("a").alias("id"), F.col("b").alias("_root")),
+        "id", "left",
+    )
+    return labels.select(
+        "id",
+        F.coalesce(F.col("_root"), F.col("id")).cast("long").alias(
+            "component_id"
+        ),
+    )
+
+
 def dedup_clusters(
     nodes: DataFrame,
     edges: DataFrame,

@@ -307,3 +307,37 @@ def test_pagerank_star_graph_semantics(spark):
     assert min(r[0], r[1]) > 10 * r[2]
     assert r[2] == r[3] == r[4] == r[5] == round(0.15 / 6, 6)
     assert abs(sum(r.values()) - 1.0) < 1e-4
+
+
+def test_alternating_components_equals_propagation(spark):
+    """Large-star/small-star (O(log n) rounds) agrees with min-label
+    propagation on random graphs AND solves a 64-node chain whose
+    diameter exceeds the propagation round budget it would need."""
+    import random
+
+    from sitecrawler_spark.dedup.components import (
+        connected_components, connected_components_alternating,
+    )
+
+    # random graphs
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        n = 30
+        e = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(18)})
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges = spark.createDataFrame(e, "id_a long, id_b long")
+        a = {r["id"]: r["component_id"]
+             for r in connected_components(nodes, edges).collect()}
+        b = {r["id"]: r["component_id"]
+             for r in connected_components_alternating(nodes, edges).collect()}
+        assert a == b, f"seed {seed}"
+
+    # 64-chain: diameter 63 — alternating converges in O(log n) rounds
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    got = {r["id"]: r["component_id"]
+           for r in connected_components_alternating(
+               nodes, chain, max_rounds=12).collect()}
+    assert got == {i: 0 for i in range(n)}
