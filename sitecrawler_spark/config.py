@@ -59,6 +59,14 @@ class CrawlerConfig:
     allowed_parameters: list[str] = field(default_factory=list)
 
     # Crawl loop control
+    # frontier dequeue policy (north rule "priority queue"): "fifo" =
+    # strict reference parity (pure discovery order); "depth" = BFS-
+    # strict (depth, discovery_order) — shallow pages first under wave
+    # caps/budgets; "host_depth" = (host, depth, discovery_order) — the
+    # north star's partitioned priority key, grouping a host's budgeted
+    # slots before going deeper. Non-FIFO modes are target-only
+    # additions; the reference-parity gates all run in fifo.
+    frontier_priority: str = "fifo"
     short_circuit_after: int = 0          # 0 = unlimited (SiteCrawler.java:242,477-491)
     disable_redirects: bool = False       # SiteCrawler.java:252,503-512
     enable_javascript: bool = False       # kept for config parity; parser is static HTML

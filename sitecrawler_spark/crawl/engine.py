@@ -243,6 +243,20 @@ class SparkSiteCrawler:
 
         fr = frontier.withColumn("full_url", self._full_url(F.col("raw_url")))
 
+        # frontier dequeue priority (north rule "priority queue"):
+        # fifo = pure discovery order (reference parity); depth /
+        # host_depth = BFS-strict variants. Within per-URL and per-host
+        # window partitions host is constant, so (depth, order) there
+        # is exactly the (host, depth, order) key.
+        if cfg.frontier_priority in ("depth", "host_depth"):
+            pri = [F.col("depth"), F.col("discovery_order")]
+        else:
+            pri = [F.col("discovery_order")]
+        if cfg.frontier_priority == "host_depth":
+            pri_cap = [F.col("host")] + pri
+        else:
+            pri_cap = pri
+
         # ---- dequeue-time checks (SiteCrawler.java:1029,1042-1047,1204-1224)
         from sitecrawler_spark.operators.seen import anti_join_seen
 
@@ -252,14 +266,14 @@ class SparkSiteCrawler:
         ok = anti_join_seen(ok, "url_clean", visited, "s", self.seen)
         # within-wave sequential-dequeue emulation: keep earliest per
         # exact url, then earliest per clean form (null cleans exempt)
-        w_url = Window.partitionBy("full_url").orderBy("discovery_order")
+        w_url = Window.partitionBy("full_url").orderBy(*pri)
         ok = ok.withColumn("_rn", F.row_number().over(w_url)).filter(
             F.col("_rn") == 1
         ).drop("_rn")
         clean_key = F.coalesce(
             F.col("url_clean"), F.concat(F.lit("\x00"), F.col("full_url"))
         )
-        w_clean = Window.partitionBy(clean_key).orderBy("discovery_order")
+        w_clean = Window.partitionBy(clean_key).orderBy(*pri)
         ok = ok.withColumn("_rn", F.row_number().over(w_clean)).filter(
             F.col("_rn") == 1
         ).drop("_rn")
@@ -285,13 +299,13 @@ class SparkSiteCrawler:
                 # salts × budget rows per host instead of the host's
                 # whole frontier slice
                 salt = F.pmod(F.xxhash64("full_url"), F.lit(cfg.host_salts))
-                w_hs = Window.partitionBy("host", salt).orderBy("discovery_order")
+                w_hs = Window.partitionBy("host", salt).orderBy(*pri)
                 pol = (
                     pol.withColumn("_srn", F.row_number().over(w_hs))
                     .filter(F.col("_srn") <= budget)
                     .drop("_srn")
                 )
-            w_host = Window.partitionBy("host").orderBy("discovery_order")
+            w_host = Window.partitionBy("host").orderBy(*pri)
             pol = pol.withColumn("_hrn", F.row_number().over(w_host))
             fetch_set = pol.filter(F.col("_hrn") <= budget).drop("_hrn")
         else:
@@ -301,10 +315,10 @@ class SparkSiteCrawler:
         if cfg.short_circuit_after != 0:
             remaining = cfg.short_circuit_after + 1 - self.visited_counter
             fetch_set = (
-                fetch_set.orderBy("discovery_order").limit(max(remaining, 0))
+                fetch_set.orderBy(*pri_cap).limit(max(remaining, 0))
             )
         if cfg.max_wave_size > 0:
-            fetch_set = fetch_set.orderBy("discovery_order").limit(cfg.max_wave_size)
+            fetch_set = fetch_set.orderBy(*pri_cap).limit(cfg.max_wave_size)
         if fetch_set is not ok:
             obs_fs = Observation(f"e{id(self)}_w{wave}_fs")
             fetch_set = fetch_set.observe(
@@ -427,7 +441,7 @@ class SparkSiteCrawler:
         obs_p = Observation(f"e{id(self)}_w{wave}_pages")
         pages_out = pages.select(
             "full_url", "host", F.lit(wave).alias("wave"), "discovery_order",
-            "eff_status", "error_code", "spans",
+            "depth", "eff_status", "error_code", "spans",
         ).observe(
             obs_p,
             F.count(F.when(F.col("error_code").isNotNull(), 1)).alias("ne"),

@@ -104,3 +104,49 @@ def test_multihop_crosshost_redirect_chains(spark):
         expected.visit_order
     )
     assert {r["s"] for r in eng.visited_df().collect()} == expected.visited
+
+
+def test_frontier_priority_host_depth_vs_fifo(spark, site):
+    """North-rule priority frontier: with a 1-page wave cap, fifo
+    dequeues in pure discovery order while host_depth dequeues the
+    lexicographically-first (host, depth, order) row — so the visit
+    SEQUENCE differs, but the final crawl state (seen set, page set) is
+    identical because priority only permutes work, never admission."""
+    seeds = [r["url"] for r in site[:3]]
+
+    eng_f = SparkSiteCrawler(spark, _cfg(max_wave_size=1),
+                             sitegen.site_to_df(spark, site))
+    eng_f.crawl(seeds, max_waves=12)
+    fifo_order = [r["full_url"] for r in eng_f.visit_order_df().collect()]
+
+    eng_p = SparkSiteCrawler(
+        spark, _cfg(max_wave_size=1, frontier_priority="host_depth"),
+        sitegen.site_to_df(spark, site))
+    eng_p.crawl(seeds, max_waves=12)
+    pri_rows = eng_p.pages.orderBy("wave").select(
+        "full_url", "host", "depth").collect()
+    pri_order = [r["full_url"] for r in pri_rows]
+
+    assert pri_order != fifo_order  # the priority key really reorders
+    # crisp invariant: wave 1's frontier is exactly the three seeds, so
+    # host_depth must fetch the lexicographically-smallest seed host
+    # first — fifo fetches seed #1 regardless of host
+    seed_hosts = sorted(u.split("/")[2] for u in seeds)
+    assert pri_rows[0]["host"] == seed_hosts[0]
+    assert fifo_order[0] == seeds[0]
+
+
+def test_frontier_priority_same_final_state(spark, site):
+    """All three dequeue policies converge to the same seen set and
+    page set on a full crawl — priority permutes order, not coverage."""
+    seeds = [r["url"] for r in site[:3]]
+    finals = []
+    for mode in ("fifo", "depth", "host_depth"):
+        eng = SparkSiteCrawler(spark, _cfg(frontier_priority=mode),
+                               sitegen.site_to_df(spark, site))
+        eng.crawl(seeds, max_waves=60)
+        finals.append((
+            frozenset(r["s"] for r in eng.visited_df().collect()),
+            frozenset(r["full_url"] for r in eng.pages.collect()),
+        ))
+    assert finals[0] == finals[1] == finals[2]
