@@ -35,6 +35,13 @@ def main() -> None:
     ap.add_argument("--base-url", default="http://www.salesforce.com")
     ap.add_argument("--base-url-secure", default="https://www.salesforce.com")
     ap.add_argument("--seeds", help="file with one seed path/URL per line")
+    ap.add_argument("--seeds-distributed", action="store_true",
+                    help="read --seeds via spark.read.text (billion-seed "
+                         "lists never touch the driver)")
+    ap.add_argument("--frontier-priority",
+                    choices=["fifo", "depth", "host_depth"], default="fifo",
+                    help="dequeue policy: fifo = reference parity; "
+                         "depth / host_depth = BFS-strict priority keys")
     ap.add_argument("--state-dir", required=True)
     ap.add_argument("--blocked", nargs="*", default=[])
     ap.add_argument("--politeness-budget", type=int, default=0)
@@ -83,6 +90,7 @@ def main() -> None:
         blocked=args.blocked,
         disable_redirects=not args.follow_redirects,
         politeness_budget=args.politeness_budget,
+        frontier_priority=args.frontier_priority,
         max_wave_size=args.max_wave_size,
         short_circuit_after=args.short_circuit_after,
         seen_filter=args.seen_filter,
@@ -98,7 +106,7 @@ def main() -> None:
     )
 
     seeds: list[str] = []
-    if args.seeds:
+    if args.seeds and not args.seeds_distributed:
         with open(args.seeds) as f:
             seeds = [line.strip() for line in f if line.strip()]
 
@@ -121,6 +129,9 @@ def main() -> None:
 
     if args.resume:
         eng.resume()
+        eng.crawl(max_waves=args.max_waves)
+    elif args.seeds and args.seeds_distributed:
+        eng.seed_from_files([args.seeds])
         eng.crawl(max_waves=args.max_waves)
     else:
         eng.crawl(seeds, max_waves=args.max_waves)
