@@ -341,3 +341,30 @@ def test_alternating_components_equals_propagation(spark):
            for r in connected_components_alternating(
                nodes, chain, max_rounds=12).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_chunk_texts_reconstruction_property(spark):
+    """Chunking invariant: chunk i covers tokens[stride*i : stride*i+64],
+    so chunk 0 plus every later chunk minus its overlap prefix
+    reconstructs the original token stream exactly."""
+    import random
+
+    rng = random.Random(5)
+    texts = []
+    for _ in range(25):
+        n = rng.randrange(0, 200)
+        texts.append(" ".join(f"w{rng.randrange(999)}" for _ in range(n)))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    chunk, overlap = 64, 16
+    rows = df.select(
+        "id", TX.chunk_texts(F.col("text"), chunk, overlap).alias("c")
+    ).collect()
+    got = {r["id"]: r["c"] for r in rows}
+    for i, t in enumerate(texts):
+        toks = t.split(" ") if t else [""]
+        rebuilt = []
+        for j, ch in enumerate(got[i]):
+            ctoks = ch.split(" ") if ch else [""]
+            rebuilt.extend(ctoks if j == 0 else ctoks[overlap:])
+        assert rebuilt == toks, f"doc {i}"
