@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_word_freq": _queries.q_word_freq,
         "q_media_meta": _queries.q_media_meta,
         "q_ann_kmeans": _queries.q_ann_kmeans,
+        "q_tfidf_topterms": _queries.q_tfidf_topterms,
         "q_ngram_jaccard": _queries.q_ngram_jaccard,
         "q_ann_bruteforce": _queries.q_ann_bruteforce,
         "q_ann_lsh": _queries.q_ann_lsh,

@@ -653,6 +653,30 @@ FROM comp JOIN sizes USING (component_id)
 """
 
 
+ORACLES["q_tfidf_topterms"] = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+tok AS (SELECT doc_id, word FROM t WHERE word <> ''),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * ln((SELECT n FROM n) * 1.0 / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (word)
+),
+r AS (
+  SELECT doc_id, word, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, word) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, word, tfidf FROM r WHERE rank <= 3
+"""
+
 ORACLES["q_media_meta"] = """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,

@@ -539,6 +539,35 @@ def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, probes, k=5, centroids=cents, n_probe=3)
 
 
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction): tf ×
+    ln(N/df), rounded 6dp before ranking so JVM/libm ulp differences
+    can't flip a rank; ties break lexicographically."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = toks.select("doc_id", "word").distinct().groupBy("word").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = docs.count()
+    scored = tf.join(dfreq, "word").select(
+        "doc_id", "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "word", "tfidf")
+    )
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary metadata extraction (the multimodal column model:
     binary payload + typed metadata): byte length, md5 checksum, magic
