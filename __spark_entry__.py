@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_meta": _queries.q_media_meta,
         "q_ann_kmeans": _queries.q_ann_kmeans,
         "q_tfidf_topterms": _queries.q_tfidf_topterms,
+        "q_text_features": _queries.q_text_features,
         "q_ngram_jaccard": _queries.q_ngram_jaccard,
         "q_ann_bruteforce": _queries.q_ann_bruteforce,
         "q_ann_lsh": _queries.q_ann_lsh,

@@ -653,6 +653,35 @@ FROM comp JOIN sizes USING (component_id)
 """
 
 
+ORACLES["q_text_features"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(concat(word, '#1')), 1, 15))::BIGINT AS hv
+  FROM tok WHERE word <> ''
+),
+sums AS (
+  SELECT doc_id, (hv % 16)::INTEGER AS dim,
+         sum(CASE WHEN hv % 32 < 16 THEN 1.0 ELSE -1.0 END) AS v
+  FROM h GROUP BY doc_id, dim
+),
+grid AS (
+  SELECT d.doc_id, g.range::INTEGER AS dim
+  FROM (SELECT DISTINCT doc_id FROM documents) d CROSS JOIN range(16) g
+),
+f AS (
+  SELECT grid.doc_id, grid.dim, COALESCE(sums.v, 0.0) AS v
+  FROM grid LEFT JOIN sums USING (doc_id, dim)
+),
+n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY doc_id)
+SELECT f.doc_id, f.dim, round(f.v / greatest(n.nrm, 1e-12), 6) AS feat
+FROM f JOIN n USING (doc_id)
+"""
+
 ORACLES["q_tfidf_topterms"] = """
 WITH t AS (
   SELECT doc_id,

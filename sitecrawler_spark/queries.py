@@ -539,6 +539,22 @@ def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, probes, k=5, centroids=cents, n_probe=3)
 
 
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text featurization (documents → dense vectors the
+    ANN/near-dup ops consume), exploded to (doc_id, dim, feat) scalars
+    so the value gate compares floats, not array renderings."""
+    from sitecrawler_spark.textops.functions import hashed_text_features
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.posexplode(hashed_text_features(F.col("text"), 16)).alias(
+            "dim", "feat"
+        ),
+    )
+
+
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (keyword extraction): tf ×
     ln(N/df), rounded 6dp before ranking so JVM/libm ulp differences

@@ -120,3 +120,46 @@ def chunk_texts(c: Column, chunk: int = 64, overlap: int = 16) -> Column:
     return F.transform(
         starts, lambda s: F.array_join(F.slice(toks, s, chunk), " ")
     )
+
+
+def hashed_text_features(c: Column, dim: int = 64) -> Column:
+    """Hashing-trick bag-of-words feature vector (Weinberger et al.,
+    "Feature hashing for large scale multitask learning", ICML 2009):
+    token t adds sign(t) at index hash(t) % dim; L2-normalized, rounded
+    6dp (cross-engine float portability). Turns raw documents into
+    array<double> vectors the ANN/near-dup operators consume — no
+    model, no Python, one pass per row (the token-hash array and the
+    unnormalized vector are lambda-bound so the dim aggregates and the
+    normalizer don't re-inline them; see dedup._bind)."""
+    from sitecrawler_spark.dedup.dedup import _bind, portable_hash_str
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != ""
+    )
+
+    def vec_from(hs: Column) -> Column:
+        def dim_sum(d: int) -> Column:
+            # sign from x % 2dim < dim — exact long arithmetic (a
+            # floor(x / dim) parity goes through double division and
+            # mangles the low bits of a 60-bit hash)
+            return F.aggregate(
+                hs, F.lit(0.0),
+                lambda acc, x: acc + F.when(
+                    F.pmod(x, F.lit(dim)) == d,
+                    F.when(F.pmod(x, F.lit(2 * dim)) < dim,
+                           F.lit(1.0)).otherwise(F.lit(-1.0)),
+                ).otherwise(F.lit(0.0)),
+            )
+        return F.array(*[dim_sum(d) for d in range(dim)])
+
+    def normalize(v: Column) -> Column:
+        norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        return _bind(
+            norm,
+            lambda n: F.transform(
+                v, lambda x: F.round(x / F.greatest(n, F.lit(1e-12)), 6)
+            ),
+        )
+
+    hashes = F.transform(toks, lambda t: portable_hash_str(t, 1))
+    return _bind(hashes, lambda hs: _bind(vec_from(hs), normalize))

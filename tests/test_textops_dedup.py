@@ -368,3 +368,29 @@ def test_chunk_texts_reconstruction_property(spark):
             ctoks = ch.split(" ") if ch else [""]
             rebuilt.extend(ctoks if j == 0 else ctoks[overlap:])
         assert rebuilt == toks, f"doc {i}"
+
+
+def test_hashed_text_features_behave_like_embeddings(spark):
+    """Feature hashing: identical texts map to identical vectors; a
+    near-duplicate is closer (cosine) to its source than an unrelated
+    document — so the documents table can feed the ANN/near-dup ops
+    without any external embedding model."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog by the river"),
+        (1, "the quick brown fox jumps over the lazy dog by the river"),
+        (2, "the quick brown fox jumps over the lazy cat by the river"),
+        (3, "columnar execution engines shuffle arrow batches in spark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = df.select(
+        "doc_id", TX.hashed_text_features(F.col("text"), 32).alias("v")
+    )
+    got = {r["doc_id"]: np.array(r["v"]) for r in feats.collect()}
+    assert np.array_equal(got[0], got[1])
+    assert abs(np.linalg.norm(got[0]) - 1.0) < 1e-5  # L2-normalized
+
+    def cos(a, b):
+        return float(a @ b)
+
+    assert cos(got[0], got[2]) > cos(got[0], got[3])
+    assert cos(got[0], got[2]) > 0.8
