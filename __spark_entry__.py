@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lineitem_pricing": _queries.q_lineitem_pricing,
         "q_events_hourly": _queries.q_events_hourly,
         "q_events_sessionize": _queries.q_events_sessionize,
+        "q_events_rollup": _queries.q_events_rollup,
+        "q_events_quantiles": _queries.q_events_quantiles,
+        "q_orders_top_customers": _queries.q_orders_top_customers,
         "q_token_counts": _queries.q_token_counts,
         "q_quality_score": _queries.q_quality_score,
         "q_lang_id": _queries.q_lang_id,

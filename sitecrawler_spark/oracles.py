@@ -653,6 +653,36 @@ FROM comp JOIN sizes USING (component_id)
 """
 
 
+ORACLES["q_events_rollup"] = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY ROLLUP(event_type, hour)
+"""
+
+ORACLES["q_events_quantiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+ORACLES["q_orders_top_customers"] = """
+WITH t AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         round(sum(o.o_totalprice), 2) AS total,
+         count(*) AS n_orders
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+)
+SELECT * FROM (
+  SELECT t.*, row_number() OVER (ORDER BY total DESC, c_custkey) AS rank
+  FROM t) s WHERE rank <= 20
+"""
+
 ORACLES["q_text_features"] = """
 WITH tok AS (
   SELECT doc_id,

@@ -539,6 +539,60 @@ def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, probes, k=5, centroids=cents, n_probe=3)
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: event counts/value by (event_type, hour) with
+    subtotal and grand-total rows (GROUP BY ROLLUP)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_format(date_trunc('hour', ts),
+                           'yyyy-MM-dd HH:mm:ss') AS hour,
+               count(*) AS n, round(sum(value), 4) AS total_value
+        FROM events GROUP BY ROLLUP(event_type, hour)
+        """
+    )
+
+
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type (p50/p90/
+    p99 — the monitoring-table shape)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               round(percentile(value, 0.5), 6) AS p50,
+               round(percentile(value, 0.9), 6) AS p90,
+               round(percentile(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+        """
+    )
+
+
+def q_orders_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-table join + top-k: biggest customers by total order value with
+    their nation (broadcastable dims; ranking on the ROUNDED total so
+    float-summation order can't flip a rank)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT c.c_custkey, c.c_name, n.n_name,
+                 round(sum(o.o_totalprice), 2) AS total,
+                 count(*) AS n_orders
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY c.c_custkey, c.c_name, n.n_name
+        )
+        SELECT * FROM (
+          SELECT t.*, row_number() OVER (ORDER BY total DESC, c_custkey)
+                   AS rank
+          FROM t) WHERE rank <= 20
+        """
+    )
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick text featurization (documents → dense vectors the
     ANN/near-dup ops consume), exploded to (doc_id, dim, feat) scalars
