@@ -98,3 +98,12 @@ def test_dedup_vector_queries_are_jvm_native(spark):
         plan = _plan(df)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_orders_topk_broadcasts_dims(spark):
+    """customer and nation are broadcastable dims — the 3-table join
+    must not shuffle orders twice."""
+    df = Q.q_orders_top_customers(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastExchange") >= 1, plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
