@@ -449,8 +449,8 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, ts, event_type,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -1030,7 +1030,7 @@ WITH t AS (
 SELECT CASE WHEN i % 5 = 0 THEN 'anchor'
             WHEN i % 7 = 0 THEN 'media' ELSE 'text' END AS kind,
        count(*) AS n,
-       sum(length(tok)) AS chars,
+       sum(length(tok))::BIGINT AS chars,
        count(CASE WHEN i % 7 = 0 AND i % 5 <> 0 THEN concat('ref://', tok) END) AS n_refs,
        max(i) AS max_offset
 FROM t GROUP BY 1

@@ -455,7 +455,7 @@ def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.length("s.text")).alias("chars"),
             F.count("s.media_ref").alias("n_refs"),
-            F.max("s.offset").alias("max_offset"),
+            F.max("s.offset").cast("bigint").alias("max_offset"),
         )
     )
 
