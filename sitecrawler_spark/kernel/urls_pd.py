@@ -33,6 +33,9 @@ _ORIGIN_FAST = r"^([a-z][a-z0-9+.\-]*://[^/?#]+)"
 # a '.' or '..' path segment anywhere — urljoin runs remove_dot_segments
 # on relative refs, so these rows take the exact fallback.
 _DOT_SEG = r"/\.\.?(?:/|$)"
+# Empty trailing query/fragment shapes where urljoin does NOT echo the ref
+# verbatim: '...?', '...#', or '...?#...' (empty query before a fragment).
+_EMPTY_TAIL = r"[?#]$|\?#"
 
 
 def parse_frame(u: pd.Series) -> pd.DataFrame:
@@ -141,13 +144,20 @@ def urljoin_series(base: pd.Series, href: pd.Series) -> pd.Series:
     out = pd.Series(pd.NA, index=h.index, dtype="string")
     done = pd.Series(False, index=h.index)
 
-    abs_fast = h.str.match(_ABS_FAST).fillna(False)
+    # Refs with an empty trailing query/fragment ('p?', 'p#', 'p?#x') are
+    # NOT returned verbatim by urljoin — it strips the dangling '?'/'#'
+    # (e.g. urljoin(b, 'http://b.com/p?') == 'http://b.com/p'), so route
+    # them through the exact per-row fallback.
+    tricky = h.str.contains(_EMPTY_TAIL, regex=True).fillna(False)
+
+    abs_fast = h.str.match(_ABS_FAST).fillna(False) & ~tricky
     out = out.mask(abs_fast, h)
     done |= abs_fast
 
     origin = b.str.extract(_ORIGIN_FAST, expand=True)[0]
     rooted = (
         ~done
+        & ~tricky
         & h.str.startswith("/").fillna(False)
         & ~h.str.startswith("//").fillna(False)
         & ~h.str.contains(_DOT_SEG, regex=True).fillna(True)

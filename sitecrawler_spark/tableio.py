@@ -44,17 +44,29 @@ class SnapshotStore:
     def _manifest_path(self, snap_id: int) -> str:
         return os.path.join(self.root, "_snapshots", f"{snap_id:08d}.json")
 
-    def _snapshot_files(self) -> list[str]:
+    # a .tmp manifest younger than this is assumed to belong to an
+    # in-flight writer; only stale ones are torn writes safe to reap
+    _TMP_GRACE_SEC = 60.0
+
+    def _snapshot_files(self, reap_tmp: bool = False) -> list[str]:
         """Published manifests only: a crash between writing '<id>.json.tmp'
         and os.replace leaves a .tmp that sorts AFTER the real manifest —
-        reading it would defeat the atomic-publish guarantee."""
+        reading it would defeat the atomic-publish guarantee. Reads merely
+        IGNORE .tmp files; reaping them is opt-in (gc/commit paths) and
+        age-gated so a concurrent mid-publish writer's tmp is never
+        deleted out from under its os.replace."""
         snap_dir = os.path.join(self.root, "_snapshots")
         out = []
         for name in os.listdir(snap_dir):
             if name.endswith(".json"):
                 out.append(name)
-            elif name.endswith(".tmp"):
-                os.remove(os.path.join(snap_dir, name))  # torn write
+            elif name.endswith(".tmp") and reap_tmp:
+                path = os.path.join(snap_dir, name)
+                try:
+                    if time.time() - os.path.getmtime(path) > self._TMP_GRACE_SEC:
+                        os.remove(path)  # stale torn write
+                except OSError:
+                    pass  # already replaced/removed by its writer
         return sorted(out)
 
     def latest(self) -> dict | None:
@@ -111,7 +123,7 @@ class SnapshotStore:
         """Drop manifests and data parts not referenced by the newest
         ``keep`` snapshots (Iceberg expire_snapshots analog)."""
         snap_dir = os.path.join(self.root, "_snapshots")
-        snaps = self._snapshot_files()
+        snaps = self._snapshot_files(reap_tmp=True)
         if len(snaps) <= keep:
             return
         live: set[str] = set()

@@ -108,7 +108,12 @@ def main() -> None:
     seeds: list[str] = []
     if args.seeds and not args.seeds_distributed:
         with open(args.seeds) as f:
-            seeds = [line.strip() for line in f if line.strip()]
+            # same filter as the distributed path (engine.seed_from_files):
+            # skip blanks and '#' comment lines so both flags yield the
+            # same frontier from the same seed file
+            seeds = [
+                s for line in f if (s := line.strip()) and not s.startswith("#")
+            ]
 
     if args.synthetic:
         from sitecrawler_spark.crawl import sitegen

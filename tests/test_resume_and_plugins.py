@@ -141,7 +141,9 @@ def test_plugin_actions(spark, site):
 
 def test_resume_ignores_torn_tmp_manifest(spark, site, tmp_path):
     """A crash between writing '<id>.json.tmp' and os.replace must not
-    poison resume: latest() skips (and clears) .tmp files."""
+    poison resume: latest() IGNORES .tmp files (never deletes them — a
+    concurrent writer may be mid-publish); only gc reaps, and only once
+    the .tmp is older than the grace period (ADVICE r02)."""
     import os
 
     from sitecrawler_spark.tableio import SnapshotStore
@@ -155,9 +157,20 @@ def test_resume_ignores_torn_tmp_manifest(spark, site, tmp_path):
     snap_dir = os.path.join(state, "_snapshots")
     good = sorted(f for f in os.listdir(snap_dir) if f.endswith(".json"))
     # simulate the torn write: a stale .tmp that sorts after every .json
-    with open(os.path.join(snap_dir, "99999999.json.tmp"), "w") as f:
+    torn = os.path.join(snap_dir, "99999999.json.tmp")
+    with open(torn, "w") as f:
         f.write("{ torn")
     store = SnapshotStore(state, eng.store.tables)
     m = store.latest()
     assert m is not None and f"{m['snapshot']:08d}.json" == good[-1]
-    assert not any(x.endswith(".tmp") for x in os.listdir(snap_dir))
+    # read paths leave the .tmp alone (a live writer could own it)
+    assert os.path.exists(torn)
+    # gc within the grace period also leaves it (could be mid-publish)
+    store.expire_snapshots(keep=1)
+    assert os.path.exists(torn)
+    # gc reaps it once it is clearly stale
+    old = os.path.getmtime(torn) - store._TMP_GRACE_SEC - 5
+    os.utime(torn, (old, old))
+    store.expire_snapshots(keep=1)
+    assert not os.path.exists(torn)
+    assert store.latest() is not None

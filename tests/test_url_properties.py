@@ -155,3 +155,30 @@ def test_urljoin_series_matches_urljoin(pairs):
     ).tolist()
     exp = [ref(b, h) for b, h in pairs]
     assert got == exp
+
+
+def test_urljoin_series_empty_query_fragment_tails():
+    """Refs with an empty trailing '?'/'#' (or '?#') are NOT echoed
+    verbatim by urljoin — it strips the dangling separator. These shapes
+    must skip the vectorized fast paths (ADVICE r02)."""
+    from urllib.parse import urljoin
+
+    base = "http://a.com/x/y"
+    hrefs = [
+        "http://b.com/p?",
+        "http://b.com/p#",
+        "http://b.com/p?#x",
+        "/p?",
+        "/p#",
+        "/p?#x",
+        "p?",
+        "p?#x",
+        "http://b.com/p?q=1",   # nonempty query: fast path still valid
+        "/p?q=1#frag",
+    ]
+    got = urls_pd.urljoin_series(
+        pd.Series([base] * len(hrefs), dtype=object),
+        pd.Series(hrefs, dtype=object),
+    ).tolist()
+    exp = [urljoin(base, h) for h in hrefs]
+    assert got == exp
