@@ -107,6 +107,11 @@ class CrawlerConfig:
     seen_filter: str | None = None        # None | "bloom" | "cuckoo"
     seen_filter_expected_n: int = 1_000_000
     seen_filter_fpp: float = 0.01
+    bloom_n_shards: int | None = None     # None = auto (~8 MiB/shard)
+    bloom_max_hot_shards: int | None = None  # cap driver-resident shard
+                                          # arrays; evicted shards spill as
+                                          # .npy artifacts under the state
+                                          # dir (Iceberg state-table analog)
 
     # Cross-wave retry re-admission of transient fetch errors (target-only;
     # the reference retries only inside one blocking fetch,

