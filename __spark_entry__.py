@@ -99,12 +99,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": _queries.q_dedup_clusters,
         "q_span_stats": _queries.q_span_stats,
         "q_crawl_e2e": _queries.q_crawl_e2e,
+        "q_crawl_e2e_budgeted": _queries.q_crawl_e2e_budgeted,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     out = dict(_oracles.ORACLES)
     out["q_crawl_e2e"] = _oracles.crawl_e2e_oracle()
+    out["q_crawl_e2e_budgeted"] = _oracles.crawl_e2e_budgeted_oracle()
     out["q_ann_lsh_multi"] = _oracles.ann_lsh_multi_oracle()
     out["q_embed_neardup"] = _oracles.embed_neardup_oracle()
     out["q_pagerank"] = _oracles.pagerank_oracle()

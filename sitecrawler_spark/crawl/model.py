@@ -221,3 +221,114 @@ class ReferenceCrawlModel:
                     continue
                 to_visit.append(href)
         return res
+
+    # -- budgeted wave mode (target-only politeness semantics) --------------
+
+    def crawl_budgeted(
+        self, seed_paths: list[str] | None = None, budget: int = 0
+    ) -> CrawlResult:
+        """Wave-scheduled crawl with a per-host politeness budget — the
+        single-threaded oracle for the ENGINE's target-only budgeted
+        semantics (the reference has no politeness layer; the contract
+        is engine-defined and list/dict-implemented here independently):
+
+          wave     = frontier rows passing dequeue checks, keep-first
+                     per url then per clean form, in discovery order
+          fetch    = per host, the first `budget` wave rows
+          deferred = wave rows past the budget, order preserved
+          admitted = outlinks after static filter + seen/clean/deferred
+                     checks, keep-first per href, fresh orders appended
+          frontier'= deferred ++ admitted
+
+        budget=0 reduces to one-wave-per-frontier-slice BFS with the
+        same admission rules."""
+        from sitecrawler_spark.kernel.urls_py import url_host
+
+        cfg = self.cfg
+        res = CrawlResult()
+        visited = res.visited
+
+        def excl(u: str) -> bool:
+            return is_excluded(
+                u, visited, cfg.base_url, cfg.base_url_secure,
+                cfg.allowed_suffixes, cfg.require_allowed_suffixes,
+                list(cfg.blocked) + cfg.robots_blocked_patterns(), cfg.allowed,
+                cfg.allowed_parameters, cfg.url_path_should_not_end_in_slash,
+            )
+
+        # seeding — identical to the sequential model / engine.seed
+        frontier: list[tuple[str, int]] = []  # (raw_url, discovery_order)
+        seen_raw: set[str] = set()
+        for path in seed_paths or []:
+            full = prepend_base_if_needed(path, cfg.base_url, cfg.base_url_secure)
+            if not excl(full) and path not in seen_raw:
+                frontier.append((path, len(frontier)))
+                seen_raw.add(path)
+        if not frontier:
+            default = cfg.base_url if cfg.base_url is not None else cfg.base_url_secure
+            frontier.append((default, 0))
+        next_order = frontier[-1][1] + 1
+
+        while frontier:
+            # dequeue checks in discovery order
+            wave_ok: list[tuple[str, str, int]] = []  # (full, clean, order)
+            wave_urls: set[str] = set()
+            wave_cleans: set[str] = set()
+            for raw, order in sorted(frontier, key=lambda t: t[1]):
+                full = prepend_base_if_needed(raw, cfg.base_url, cfg.base_url_secure)
+                if excl(full):
+                    continue
+                clean = clean_url(
+                    full, cfg.allowed_parameters,
+                    cfg.url_path_should_not_end_in_slash,
+                )
+                if full in wave_urls:
+                    continue
+                if clean is not None and clean in wave_cleans:
+                    continue
+                wave_urls.add(full)
+                if clean is not None:
+                    wave_cleans.add(clean)
+                wave_ok.append((full, clean, order))
+            if not wave_ok:
+                break
+
+            # per-host politeness budget, keep-first in discovery order
+            fetch: list[tuple[str, str, int]] = []
+            deferred: list[tuple[str, int]] = []
+            per_host: dict[str, int] = {}
+            raw_by_order = {o: r for r, o in frontier}
+            for full, clean, order in wave_ok:
+                h = url_host(full)
+                if budget > 0 and per_host.get(h, 0) >= budget:
+                    deferred.append((raw_by_order[order], order))
+                    continue
+                per_host[h] = per_host.get(h, 0) + 1
+                fetch.append((full, clean, order))
+
+            # visited insert BEFORE fetch, then fetch+process in order
+            cand: list[tuple[str, int, int]] = []  # (href, parent_order, pos)
+            for full, clean, _ in fetch:
+                visited.add(full)
+                if clean is not None:
+                    visited.add(clean)
+                res.visit_order.append(full)
+            for full, _clean, order in fetch:
+                links = self._process(full, res)
+                for pos, href in enumerate(links):
+                    cand.append((href, order, pos))
+
+            # admission (engine wave semantics)
+            deferred_raws = {r for r, _ in deferred}
+            admitted: list[tuple[str, int]] = []
+            seen_href: set[str] = set()
+            for href, _po, _lp in sorted(cand, key=lambda t: (t[1], t[2])):
+                if excl(href):  # includes visited(url) + visited(clean)
+                    continue
+                if href in deferred_raws or href in seen_href:
+                    continue
+                seen_href.add(href)
+                admitted.append((href, next_order))
+                next_order += 1
+            frontier = deferred + admitted
+        return res

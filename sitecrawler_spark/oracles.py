@@ -963,6 +963,34 @@ def crawl_e2e_oracle() -> str:
     )
 
 
+def crawl_e2e_budgeted_oracle() -> str:
+    """Oracle for q_crawl_e2e_budgeted: the pure-Python wave-mode model
+    (ReferenceCrawlModel.crawl_budgeted — list/dict implementation of
+    the engine's target-only politeness semantics) rendered as a VALUES
+    literal. Independent of the DataFrame engine; hash-compared by the
+    driver."""
+    from sitecrawler_spark.crawl.model import ReferenceCrawlModel
+    from sitecrawler_spark.queries import crawl_e2e_budgeted_setup
+
+    rows, cfg, seeds = crawl_e2e_budgeted_setup()
+    res = ReferenceCrawlModel(cfg, rows).crawl_budgeted(
+        seeds, budget=cfg.politeness_budget
+    )
+    vals = []
+    for i, url in enumerate(res.visit_order):
+        page = res.pages[i]
+        assert page["url"] == url, "model pages/visit_order misaligned"
+        ec = page["error_code"]
+        ec_sql = "CAST(NULL AS INTEGER)" if ec is None else f"CAST({ec} AS INTEGER)"
+        u = url.replace("'", "''")
+        vals.append(f"(CAST({i + 1} AS INTEGER), '{u}', {ec_sql})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(visit_rank, full_url, error_code)"
+    )
+
+
 def ann_lsh_multi_oracle(
     dim: int = 64, n_planes: int = 4, n_tables: int = 6, k: int = 5
 ) -> str:

@@ -150,3 +150,23 @@ def test_frontier_priority_same_final_state(spark, site):
             frozenset(r["full_url"] for r in eng.pages.collect()),
         ))
     assert finals[0] == finals[1] == finals[2]
+
+
+def test_budgeted_model_matches_engine(spark, site):
+    """The pure-Python wave-mode model (crawl_budgeted) reproduces the
+    engine's budgeted realized order and seen set exactly — the oracle
+    that backs q_crawl_e2e_budgeted (VERDICT r02 #6)."""
+    cfg = _cfg(politeness_budget=2, host_salts=4, seen_filter="bloom",
+               seen_filter_expected_n=10_000)
+    seeds = [r["url"] for r in site[:3]]
+    expected = ReferenceCrawlModel(cfg, site).crawl_budgeted(seeds, budget=2)
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, site))
+    eng.crawl(seeds, max_waves=120)
+    got_order = [r["full_url"] for r in eng.visit_order_df().collect()]
+    assert got_order == expected.visit_order
+    assert {r["s"] for r in eng.visited_df().collect()} == expected.visited
+    # and the budget=0 degenerate case equals the plain sequential model
+    cfg0 = _cfg()
+    seq = ReferenceCrawlModel(cfg0, site).crawl(seeds)
+    bud0 = ReferenceCrawlModel(cfg0, site).crawl_budgeted(seeds, budget=0)
+    assert bud0.visited == seq.visited
