@@ -21,6 +21,7 @@ hot-domain skew, and wave-size caps (the micro-batch analog of
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 
@@ -113,11 +114,53 @@ class CrawlerConfig:
                                           # .npy artifacts under the state
                                           # dir (Iceberg state-table analog)
 
+    # Config-bean parity with the reference's scaling knobs
+    # (SiteCrawler.java:126,155,162; beans/CrawlerConfiguration.java).
+    # They MAP onto Spark-native controls — the real slot count comes
+    # from the cluster (local[N] / executor cores), not thread pools:
+    #   thread_limit              ≙ I/O thread count → parallelism hint
+    #   download_vs_process_ratio ≙ pageExecutor sizing
+    #                               (ceil(threadLimit × ratio),
+    #                                SiteCrawler.java:779)
+    #   max_process_waiting_ratio ≙ heap-fraction cap on unprocessed
+    #                               pages (SiteCrawler.java:784-789)
+    # NOTE (not replicated): the reference's setDownloadVsProcessRatio
+    # validator rejects values outside 0..1 even though the field's own
+    # DEFAULT is 2.0, and its error message names the wrong field
+    # (SiteCrawler.java:384-393) — we accept any ratio > 0.
+    thread_limit: int | None = None
+    download_vs_process_ratio: float = 2.0
+    max_process_waiting_ratio: float = 0.4
+
     # Cross-wave retry re-admission of transient fetch errors (target-only;
     # the reference retries only inside one blocking fetch,
     # WebClientExtended.java:213-241). Requires deleting the failed URL
     # from the seen set — hence the cuckoo option above.
     retry_transient: bool = False
+
+    def derived_page_slots(self) -> int | None:
+        """pageExecutor size analog: ceil(threadLimit ×
+        downloadVsProcessRatio) (SiteCrawler.java:779). None when
+        thread_limit is unset (cluster decides)."""
+        if self.thread_limit is None:
+            return None
+        return math.ceil(self.thread_limit * self.download_vs_process_ratio)
+
+    def derived_max_process_waiting(self, heap_mb: float) -> int:
+        """maxProcessWaiting from the heap fraction
+        (SiteCrawler.java:784-789: maxHeap/1024² × ratio, rounded —
+        the reference's variable is named gbMaxHeap but holds MB; the
+        javadoc's own example '8 * 1024 * 0.4 = 3276' confirms the MB
+        formula, which we follow)."""
+        return int(heap_mb * self.max_process_waiting_ratio)
+
+    def effective_max_wave_size(self) -> int:
+        """Wave cap: explicit max_wave_size wins; else the derived page
+        slots (unprocessed-pages bound per wave); else unlimited (0)."""
+        if self.max_wave_size > 0:
+            return self.max_wave_size
+        slots = self.derived_page_slots()
+        return slots if slots is not None else 0
 
     def effective_base(self) -> str:
         """Base used by prependBaseUrlIfNeeded (SiteCrawler.java:1133-1138):

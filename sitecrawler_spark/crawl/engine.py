@@ -337,8 +337,11 @@ class SparkSiteCrawler:
             fetch_set = (
                 fetch_set.orderBy(*pri_cap).limit(max(remaining, 0))
             )
-        if cfg.max_wave_size > 0:
-            fetch_set = fetch_set.orderBy(*pri_cap).limit(cfg.max_wave_size)
+        # explicit max_wave_size, else the threadLimit×ratio-derived
+        # page-slot cap (config-bean parity, SiteCrawler.java:779)
+        wave_cap = cfg.effective_max_wave_size()
+        if wave_cap > 0:
+            fetch_set = fetch_set.orderBy(*pri_cap).limit(wave_cap)
         if fetch_set is not ok:
             obs_fs = Observation(f"e{id(self)}_w{wave}_fs")
             fetch_set = fetch_set.observe(
@@ -378,7 +381,7 @@ class SparkSiteCrawler:
         deferred = frontier.join(
             fetch_set.select("discovery_order"), "discovery_order", "left_anti"
         ).join(ok.select("discovery_order"), "discovery_order", "semi") \
-            if cfg.politeness_budget > 0 or cfg.max_wave_size > 0 \
+            if cfg.politeness_budget > 0 or wave_cap > 0 \
             or cfg.short_circuit_after != 0 else frontier.limit(0)
 
         if not getattr(self, "_discover_urls", True):

@@ -65,10 +65,24 @@ class ResponseCache:
     wave memoization additionally comes free from the visited dedupe,
     this layer serves retries and duplicate in-flight URLs."""
 
-    def __init__(self, max_entries: int = 10_240):
+    def __init__(
+        self,
+        max_entries: int = 10_240,
+        flush_after: int = 5_000,
+        flush_cache: bool = False,
+    ):
         from collections import OrderedDict
 
         self.max_entries = max_entries
+        # periodic-flush cadence parity (WebClientPool.java:61-69,
+        # 214-221): every ``flush_after`` puts (client returns), the
+        # counter resets and — only when ``flush_cache`` is enabled,
+        # matching the reference's default-off ``flushCache`` flag —
+        # the whole cache clears. LRU eviction still dominates.
+        self.flush_after = flush_after
+        self.flush_cache = flush_cache
+        self.flush_counter = 0
+        self.flushes = 0
         self._d: "OrderedDict[str, tuple]" = OrderedDict()
         self.hits = 0
         self.misses = 0
@@ -87,6 +101,12 @@ class ResponseCache:
         self._d.move_to_end(url)
         while len(self._d) > self.max_entries:
             self._d.popitem(last=False)
+        self.flush_counter += 1
+        if self.flush_counter > self.flush_after:
+            if self.flush_cache:
+                self._d.clear()
+                self.flushes += 1
+            self.flush_counter = 0
 
 
 # one instance per executor python worker (≙ one Cache per pool)

@@ -67,6 +67,11 @@ def main() -> None:
                     metavar="NAME=VALUE")
     ap.add_argument("--proxy", default=None)
     ap.add_argument("--insecure-ssl", action="store_true")
+    # config-bean parity knobs (SiteCrawler.java:126,155,162): thread
+    # count / executor-ratio names mapped onto the wave cap derivation
+    ap.add_argument("--thread-limit", type=int, default=None)
+    ap.add_argument("--download-vs-process-ratio", type=float, default=2.0)
+    ap.add_argument("--max-process-waiting-ratio", type=float, default=0.4)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -92,6 +97,9 @@ def main() -> None:
         politeness_budget=args.politeness_budget,
         frontier_priority=args.frontier_priority,
         max_wave_size=args.max_wave_size,
+        thread_limit=args.thread_limit,
+        download_vs_process_ratio=args.download_vs_process_ratio,
+        max_process_waiting_ratio=args.max_process_waiting_ratio,
         short_circuit_after=args.short_circuit_after,
         seen_filter=args.seen_filter,
         seen_filter_expected_n=args.expected_urls,
