@@ -98,6 +98,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": _queries.q_embed_neardup,
         "q_dedup_clusters": _queries.q_dedup_clusters,
         "q_span_stats": _queries.q_span_stats,
+        "q_span_media_align": _queries.q_span_media_align,
+        "q_sequence_packing": _queries.q_sequence_packing,
+        "q_decontamination": _queries.q_decontamination,
+        "q_stratified_sample": _queries.q_stratified_sample,
+        "q_mix_weights": _queries.q_mix_weights,
         "q_crawl_e2e": _queries.q_crawl_e2e,
         "q_crawl_e2e_budgeted": _queries.q_crawl_e2e_budgeted,
     }

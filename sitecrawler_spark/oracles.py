@@ -936,6 +936,85 @@ SELECT id_a, id_b, sim FROM scored WHERE sim >= {threshold}
 """
 
 
+ORACLES["q_span_media_align"] = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+         generate_subscripts(string_split(text,' '),1)-1 AS i
+  FROM documents
+), k AS (
+  SELECT doc_id, i, tok,
+     CASE WHEN i%5=0 THEN 'anchor' WHEN i%7=0 THEN 'media' ELSE 'text' END AS kind
+  FROM t
+), ctx AS (
+  SELECT doc_id, i, tok, kind,
+    last_value(CASE WHEN kind='text' THEN tok END IGNORE NULLS) OVER
+      (PARTITION BY doc_id ORDER BY i
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_text,
+    first_value(CASE WHEN kind='text' THEN tok END IGNORE NULLS) OVER
+      (PARTITION BY doc_id ORDER BY i
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_text
+  FROM k
+)
+SELECT doc_id, i::BIGINT AS offset, concat('ref://', tok) AS media_ref,
+       prev_text, next_text
+FROM ctx WHERE kind='media'
+"""
+
+
+ORACLES["q_sequence_packing"] = """
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text,' ')) AS ntok FROM documents
+), c AS (
+  SELECT doc_id, source, ntok,
+    sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS cum_before
+  FROM d
+)
+SELECT source, floor(cum_before / 256)::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS tokens,
+       sum(CASE WHEN floor(cum_before / 256) <> floor((cum_before + ntok - 1) / 256)
+                THEN 1 ELSE 0 END)::BIGINT AS boundary_crossings
+FROM c GROUP BY 1,2
+"""
+
+
+ORACLES["q_decontamination"] = """
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+g0 AS (SELECT doc_id, ts, generate_subscripts(ts,1) AS j, unnest(ts) FROM toks),
+grams AS (SELECT doc_id, array_to_string(list_slice(ts, j, j+2), ' ') AS g
+          FROM g0 WHERE j + 2 <= len(ts)),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT doc_id, count(DISTINCT g)::BIGINT AS n_hits
+FROM grams JOIN bench USING (g)
+WHERE doc_id % 97 <> 0
+GROUP BY 1
+"""
+
+
+ORACLES["q_stratified_sample"] = """
+WITH h AS (
+  SELECT lang, doc_id,
+         ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS hk
+  FROM documents
+), r AS (
+  SELECT lang, doc_id, hk,
+         row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+  FROM h
+)
+SELECT lang, doc_id, rk::BIGINT AS rk FROM r WHERE rk <= 3
+"""
+
+
+ORACLES["q_mix_weights"] = """
+WITH s AS (SELECT source, sum(len(string_split(text,' ')))::BIGINT AS tokens
+           FROM documents GROUP BY 1),
+t AS (SELECT source, tokens, sqrt(tokens) AS w FROM s)
+SELECT source, tokens, round(w / sum(w) OVER (), 6) AS weight,
+       round((w / sum(w) OVER ()) * 1000000 / tokens, 6) AS epochs
+FROM t
+"""
+
+
 def crawl_e2e_oracle() -> str:
     """Oracle for q_crawl_e2e: run the single-threaded reference model
     (pure Python, no Spark) over the same deterministic site and emit

@@ -358,6 +358,158 @@ def q_crawl_e2e_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data pipeline operators (textops / dedup / ann)
 # --------------------------------------------------------------------------
 
+
+def q_span_media_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal span alignment over the interleaved data model
+    (input_hint shape): for every media span, the nearest preceding and
+    following TEXT span — the caption/context-extraction primitive a
+    multimodal training pipeline needs. Pure window functions over the
+    exploded span array: partition by doc, order by offset, IGNORE
+    NULLS last/first — no self-join, shuffle = one exchange on doc_id."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = F.split(F.col("text"), " ")
+    spans = F.transform(
+        toks,
+        lambda x, i: F.struct(
+            F.when(i % 5 == 0, F.lit("anchor"))
+            .when(i % 7 == 0, F.lit("media"))
+            .otherwise(F.lit("text"))
+            .alias("kind"),
+            x.alias("text"),
+            i.cast("long").alias("offset"),
+        ),
+    )
+    ex = docs.select("doc_id", F.explode(spans).alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.offset"
+    )
+    txt = F.when(F.col("kind") == "text", F.col("text"))
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    prev = F.last(txt, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = F.first(txt, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        ex.withColumn("prev_text", prev)
+        .withColumn("next_text", nxt)
+        .filter(F.col("kind") == "media")
+        .select(
+            "doc_id",
+            "offset",
+            F.concat(F.lit("ref://"), F.col("text")).alias("media_ref"),
+            "prev_text",
+            "next_text",
+        )
+    )
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (the standard LLM pretraining
+    batcher): documents concatenate in doc_id order within each source
+    and split at a 256-token budget; a doc belongs to the sequence its
+    first token falls in. One window cumsum per source + one groupBy —
+    both shuffle on `source`, reusable exchange, no driver loops."""
+    register_views(spark, sf_dir)
+    B = 256
+    d = spark.table("documents").select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("ntok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = d.withColumn("cum_before", F.sum("ntok").over(w) - F.col("ntok"))
+    seq = F.floor(F.col("cum_before") / B)
+    crosses = F.floor((F.col("cum_before") + F.col("ntok") - 1) / B) != seq
+    return (
+        c.groupBy("source", seq.cast("long").alias("seq_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("tokens"),
+            F.sum(F.when(crosses, 1).otherwise(0))
+            .cast("long")
+            .alias("boundary_crossings"),
+        )
+    )
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 3-gram with the held-out eval slice (doc_id % 97 == 0) — the
+    n-gram-overlap contamination check every serious pretraining
+    pipeline runs. The eval gram set is distinct-small → BROADCAST to
+    the training-side gram explode; the only shuffle is the per-doc
+    distinct-hit aggregation."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    ts = F.split(F.col("text"), " ")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - 2),
+        lambda j: F.concat_ws(" ", F.slice(ts, j, 3)),
+    )
+    grams = docs.filter(F.size(ts) >= 3).select(
+        "doc_id", F.explode(grams_arr).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: top-3 docs per language by
+    portable md5 hash order — hash-order sampling is reproducible
+    across engines AND across cluster sizes (no RNG state). Per-stratum
+    top-k via window-group-limit: Spark pushes the rank filter into a
+    per-partition top-k, so the shuffle carries at most k rows per
+    stratum per map task."""
+    register_views(spark, sf_dir)
+    h = spark.table("documents").select(
+        "lang",
+        "doc_id",
+        K.portable_hash64(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        h.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "doc_id", "rk")
+    )
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix weighting (temperature 0.5): per-source token mass →
+    sqrt-damped sampling weight and effective epochs at a 1M-token
+    budget — the mixture-allocation step of a training-data pipeline.
+    One agg on source, then a 20-row window; rounded to 6dp for
+    cross-engine float portability."""
+    register_views(spark, sf_dir)
+    s = (
+        spark.table("documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("tokens")
+        )
+    )
+    wsum = F.sum(F.sqrt(F.col("tokens"))).over(
+        Window.partitionBy()
+    )
+    weight = F.sqrt(F.col("tokens")) / wsum
+    return s.select(
+        "source",
+        "tokens",
+        F.round(weight, 6).alias("weight"),
+        F.round(weight * 1_000_000 / F.col("tokens"), 6).alias("epochs"),
+    )
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sitecrawler_spark.textops import functions as TX
 

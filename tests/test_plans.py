@@ -156,3 +156,21 @@ def test_redirect_hop_loop_runs_linear_jobs(spark):
     # checkpoint) + the terminal zero-live check; a separate per-hop
     # isEmpty probe or O(max_redirect_hops)=20 behavior fails here
     assert extra <= 2 * max_hops + 2, (counts, max_hops)
+
+
+def test_new_pipeline_queries_jvm_native(spark):
+    """Round-3 training-pipeline queries stay JVM-side: no Python eval
+    nodes anywhere; decontamination broadcasts the (small, distinct)
+    eval gram set; stratified sampling gets the WindowGroupLimit
+    per-partition top-k pushdown."""
+    for name in ["q_span_media_align", "q_sequence_packing",
+                 "q_decontamination", "q_stratified_sample",
+                 "q_mix_weights"]:
+        df = getattr(Q, name)(spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    d = _plan(Q.q_decontamination(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastExchange" in d
+    s = _plan(Q.q_stratified_sample(spark, "/root/testdata/sf0.001"))
+    assert "WindowGroupLimit" in s
