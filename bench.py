@@ -227,6 +227,15 @@ def main() -> None:
         extra[name] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )
+    # round-3 training-pipeline ops — separate block, headline stays
+    # round-comparable
+    pipeline: dict[str, float] = {}
+    for name in ("q_span_media_align", "q_sequence_packing",
+                 "q_decontamination", "q_stratified_sample",
+                 "q_mix_weights"):
+        pipeline[name] = timed(
+            name, lambda n=name: qs[n](spark, sf_dir).count()
+        )
     print(
         json.dumps(
             {
@@ -236,6 +245,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": qtimes,
                 "dedup_ops": extra,
+                "pipeline_ops": pipeline,
                 "sf": sf,
                 "cpus": cpus,
                 "frontier_n": frontier_n,
