@@ -38,12 +38,14 @@ def portable_hash_str(c: Column, salt: int) -> Column:
 
 
 def char_shingles(c: Column, k: int = 5) -> Column:
-    """Distinct character k-shingles of the normalized text (sorted for
-    determinism)."""
+    """Distinct character k-shingles of the normalized text. NOT sorted:
+    every consumer (array_min in minhash, array_intersect/size in
+    jaccard) is order-independent, so the per-row string sort was pure
+    waste (q_minhash_pairs 27.6 s → 22.3 s at sf0.1/local[32])."""
     t = normalize_text(c)
     n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
     arr = F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
-    return F.array_sort(F.array_distinct(arr))
+    return F.array_distinct(arr)
 
 
 def _bind(expr: Column, fn) -> Column:
