@@ -98,6 +98,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": _queries.q_embed_neardup,
         "q_dedup_clusters": _queries.q_dedup_clusters,
         "q_span_stats": _queries.q_span_stats,
+        "q_incremental_dedup": _queries.q_incremental_dedup,
+        "q_ann_filtered": _queries.q_ann_filtered,
+        "q_quality_filter": _queries.q_quality_filter,
+        "q_events_session_windows": _queries.q_events_session_windows,
         "q_span_media_align": _queries.q_span_media_align,
         "q_sequence_packing": _queries.q_sequence_packing,
         "q_decontamination": _queries.q_decontamination,

@@ -232,7 +232,8 @@ def main() -> None:
     pipeline: dict[str, float] = {}
     for name in ("q_span_media_align", "q_sequence_packing",
                  "q_decontamination", "q_stratified_sample",
-                 "q_mix_weights"):
+                 "q_mix_weights", "q_incremental_dedup", "q_ann_filtered",
+                 "q_quality_filter", "q_events_session_windows"):
         pipeline[name] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )

@@ -156,6 +156,68 @@ def minhash_lsh_pairs(
     return banded_pairs(bands, max_bucket_size)
 
 
+def minhash_lsh_pairs_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 5,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Incremental dedup: candidate near-dup pairs between a NEW batch
+    and an EXISTING corpus (continual-ingestion shape — the batch is
+    checked against the index, never all-pairs within the corpus).
+    Returns (batch_id, corpus_id), distinct. Shuffle = one band_key
+    exchange per side; the bucket cap applies to CORPUS buckets (a
+    boilerplate-flooded index bucket would make the join quadratic in
+    that bucket; those contents belong to the exact-dup path)."""
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                minhash_band_keys(F.col(text_col), n_hashes, n_bands, k)
+            ).alias("band_key"),
+        )
+
+    return banded_pairs_against(bands_of(batch), bands_of(corpus),
+                                max_bucket_size)
+
+
+def banded_pairs_against(
+    batch_bands: DataFrame,
+    corpus_bands: DataFrame,
+    max_bucket_size: int,
+    corpus_prepartitioned: bool = False,
+) -> DataFrame:
+    """(batch_id, corpus_id) pairs sharing ≥1 band bucket, two-sided.
+    Pass ``corpus_prepartitioned=True`` when the corpus band frame is
+    already hash-partitioned on band_key (e.g. both sides derive from
+    ONE repartitioned scan — the exchange is then reused, not redone)."""
+    if not corpus_prepartitioned:
+        corpus_bands = corpus_bands.repartition("band_key")
+    if max_bucket_size > 0:
+        sizes = corpus_bands.groupBy("band_key").agg(
+            F.count("*").alias("_bn")
+        )
+        corpus_bands = (
+            corpus_bands.join(sizes, "band_key")
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    a = batch_bands.alias("a")
+    b = corpus_bands.alias("b")
+    return (
+        a.join(b, F.col("a.band_key") == F.col("b.band_key"))
+        .select(
+            F.col("a.id").alias("batch_id"), F.col("b.id").alias("corpus_id")
+        )
+        .distinct()
+    )
+
+
 def banded_pairs(bands: DataFrame, max_bucket_size: int) -> DataFrame:
     """Distinct (id_a, id_b) pairs sharing ≥1 band bucket, from a
     (id, band_key) frame. Shared candidate-join core of minhash and

@@ -1015,6 +1015,92 @@ FROM t
 """
 
 
+ORACLES["q_incremental_dedup"] = f"""
+WITH sigs AS (
+  SELECT doc_id AS id, doc_id % 3 = 0 AS is_batch,
+         [{', '.join(_minhash_j(j) for j in range(8))}] AS sig
+  FROM documents
+),
+bands AS (
+  SELECT id, is_batch, unnest([
+    concat_ws('_', 0, sig[1], sig[2]),
+    concat_ws('_', 1, sig[3], sig[4]),
+    concat_ws('_', 2, sig[5], sig[6]),
+    concat_ws('_', 3, sig[7], sig[8])
+  ]) AS band_key
+  FROM sigs
+)
+SELECT DISTINCT a.id AS batch_id, b.id AS corpus_id
+FROM bands a JOIN bands b ON a.band_key = b.band_key
+WHERE a.is_batch AND NOT b.is_batch
+"""
+
+
+ORACLES["q_ann_filtered"] = """
+WITH p AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qvec::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim
+  FROM embeddings e, p
+  WHERE e.vec_id <> p.query_id AND e.label = p.qlabel
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+"""
+
+
+ORACLES["q_quality_filter"] = """
+WITH q AS (__QUALITY_SQL__),
+l AS (SELECT d.lang, q.doc_id, q.quality
+      FROM q JOIN documents d USING (doc_id)),
+r AS (SELECT lang, doc_id, quality,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY quality DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY lang) AS n
+      FROM l)
+SELECT lang, doc_id, quality FROM r WHERE rn <= ceil(n / 2.0)
+"""
+
+
+ORACLES["q_events_session_windows"] = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                OR epoch(ts) - epoch(prev_ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts,
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# q_quality_filter reuses the exact quality expression as a CTE
+ORACLES["q_quality_filter"] = ORACLES["q_quality_filter"].replace(
+    "__QUALITY_SQL__", ORACLES["q_quality_score"].strip()
+)
+
+
 def crawl_e2e_oracle() -> str:
     """Oracle for q_crawl_e2e: run the single-threaded reference model
     (pure Python, no Spark) over the same deterministic site and emit

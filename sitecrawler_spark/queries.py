@@ -359,6 +359,126 @@ def q_crawl_e2e_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingestion dedup: new batch (doc_id % 3 == 0) checked
+    against the existing corpus (doc_id % 3 != 0) via shared LSH bands —
+    batch×index join, never all-pairs within the corpus."""
+    from sitecrawler_spark.dedup.dedup import (
+        banded_pairs_against,
+        minhash_band_keys,
+    )
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    # both sides come from ONE table here, so compute the (expensive)
+    # signatures once: a single band frame, one band_key exchange, and
+    # the batch/corpus sides are filters ABOVE the shared exchange
+    # (ReusedExchange). A production deployment would instead read the
+    # corpus side from a materialized band index table
+    # (minhash_lsh_pairs_against takes two frames for that shape).
+    bands = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 3 == 0).alias("is_batch"),
+        F.explode(
+            minhash_band_keys(F.col("text"), n_hashes=8, n_bands=4, k=5)
+        ).alias("band_key"),
+    ).repartition("band_key")
+    # NOTE: Catalyst pushes the two filters BELOW the repartition, so
+    # each side computes signatures for ITS slice only (1/3 + 2/3 = one
+    # full pass total) — already optimal. A localCheckpoint barrier to
+    # force a literal ReusedExchange was measured WORSE (38 s vs 25 s:
+    # materialization cost + lost stage fusion with the join).
+    batch_b = bands.filter("is_batch").drop("is_batch")
+    corpus_b = bands.filter("NOT is_batch").drop("is_batch")
+    return banded_pairs_against(
+        batch_b, corpus_b, 10_000, corpus_prepartitioned=True
+    )
+
+
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-constrained ANN: exact top-5 cosine neighbors per probe
+    restricted to the probe's own label partition — the filtered-search
+    shape (lang/license/domain constraints) retrieval pipelines need.
+    Probe set broadcast; the label equi-condition joins the filter
+    INTO the similarity scan instead of post-filtering top-k (which
+    would under-fill k)."""
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    p = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nvec"),
+        "label",
+    )
+    from sitecrawler_spark.dedup.ann import cosine_sim
+
+    crossed = c.join(
+        F.broadcast(p),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("label") == F.col("qlabel")),
+    )
+    scored = crossed.select(
+        "query_id", "neighbor_id",
+        F.round(cosine_sim(F.col("qvec"), F.col("nvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based quality filtering: keep the top half of documents
+    per language by quality score (count-based median — exact and
+    engine-portable, unlike percentile interpolation). The per-stratum
+    rank gets the WindowGroupLimit treatment only when k is constant,
+    so this uses rn <= ceil(n/2) with both from one window pass."""
+    from sitecrawler_spark.textops import functions as TX
+
+    register_views(spark, sf_dir)
+    q = spark.table("documents").select(
+        "lang", "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("lang")
+    rn = F.row_number().over(
+        w.orderBy(F.col("quality").desc(), "doc_id")
+    )
+    n = F.count("*").over(w)
+    return (
+        q.withColumn("_rn", rn)
+        .withColumn("_n", n)
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") / 2))
+        .select("lang", "doc_id", "quality")
+    )
+
+
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native gap-based sessionization: F.session_window (30-min
+    gap) — the built-in merging-session-window operator (batch here;
+    the same expression works under Structured Streaming with state).
+    Oracle recomputes sessions via the lag/cumsum construction —
+    independent algorithm, same semantics (end = last event + gap)."""
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    g = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count("*").alias("n_events"))
+    return g.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
 def q_span_media_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal span alignment over the interleaved data model
     (input_hint shape): for every media span, the nearest preceding and

@@ -165,7 +165,8 @@ def test_new_pipeline_queries_jvm_native(spark):
     per-partition top-k pushdown."""
     for name in ["q_span_media_align", "q_sequence_packing",
                  "q_decontamination", "q_stratified_sample",
-                 "q_mix_weights"]:
+                 "q_mix_weights", "q_incremental_dedup", "q_ann_filtered",
+                 "q_quality_filter", "q_events_session_windows"]:
         df = getattr(Q, name)(spark, "/root/testdata/sf0.001")
         plan = _plan(df)
         assert "BatchEvalPython" not in plan, name
