@@ -252,6 +252,71 @@ class SparkSiteCrawler:
         self.wave = 0
         self.visited_counter = 0
 
+    def enqueue_seeds(self, df: DataFrame) -> int:
+        """ADD seeds to a live crawl without resetting state — the
+        continuous-ingestion entry point (streaming/crawl_stream.py
+        feeds each micro-batch of a seed-file stream through here).
+        ``df``: (raw_url, seed_order). Admission mirrors the per-wave
+        outlink path: static filter, keep-first dedup, anti-join
+        visited (url AND clean form), anti-join frontier; survivors get
+        discovery orders continuing after the global max. Returns the
+        number of seeds enqueued."""
+        from sitecrawler_spark.operators.seen import anti_join_seen
+
+        cfg = self.cfg
+        if self.frontier is None:
+            self._reset_state()
+        full = self._full_url(F.col("raw_url"))
+        adm = df.filter(~K.is_excluded_static(full, cfg))
+        w = Window.partitionBy("raw_url").orderBy("seed_order")
+        adm = (
+            adm.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        adm = adm.withColumn("_full", full)
+        visited = self.visited
+        adm = anti_join_seen(adm, "_full", visited, "s", self.seen)
+        adm = adm.withColumn("_clean", self._clean(F.col("_full")))
+        adm = anti_join_seen(adm, "_clean", visited, "s", self.seen)
+        adm = adm.join(
+            self.frontier.select("raw_url"), "raw_url", "left_anti"
+        )
+        adm = assign_global_order(
+            adm, ["seed_order"], "discovery_order",
+            start=self._max_order + 1, num_partitions=cfg.order_partitions,
+        ).select(
+            "raw_url", "discovery_order", F.lit(0).alias("depth"),
+            F.lit(0).alias("retry_count"),
+        )
+        adm = adm.localCheckpoint(eager=True)
+        n = adm.count()
+        if n:
+            self.frontier = self.frontier.unionByName(adm)
+            self._max_order = int(
+                adm.agg(F.max("discovery_order")).collect()[0][0]
+            )
+        return n
+
+    def _reset_state(self) -> None:
+        """Empty crawl state (no frontier rows, empty visited, fresh
+        filters) — for callers that enqueue seeds incrementally."""
+        self.frontier = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        self._visited_parts = [self.spark.createDataFrame([], "s string")]
+        if self.cfg.seen_filter == "bloom":
+            self.seen = self._make_bloom()
+        elif self.cfg.seen_filter == "cuckoo":
+            from sitecrawler_spark.operators.seen import SparkCuckooFilter
+
+            self.seen = SparkCuckooFilter.sized(
+                self.spark, self.cfg.seen_filter_expected_n
+            )
+        self._pages_parts = []
+        self._links_parts = []
+        self.wave = 0
+        self.visited_counter = 0
+        self._max_order = -1
+
     # -- one wave ------------------------------------------------------------
 
     def run_wave(self) -> dict:

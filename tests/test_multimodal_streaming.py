@@ -133,3 +133,57 @@ def test_streaming_dedup_drops_within_watermark(spark, events_dir, tmp_path):
         spark.table("dedup_stream").groupBy("event_id").count()
         .filter(F.col("count") > 1).count() == 0
     )
+
+
+def test_stream_seed_crawl_matches_one_shot(spark, tmp_path):
+    """Structured-Streaming seed ingestion (streaming/crawl_stream.py):
+    seed files landing in a watched directory drive the live engine via
+    foreachBatch + enqueue_seeds. Two micro-batches seeding two
+    DISJOINT site components must end with the same visited set as a
+    one-shot crawl of all seeds, and the checkpoint must prevent
+    re-ingesting batch-1 files."""
+    import os
+
+    from sitecrawler_spark.config import CrawlerConfig
+    from sitecrawler_spark.crawl import sitegen
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+    from sitecrawler_spark.streaming.crawl_stream import stream_seed_crawl
+
+    # two DISJOINT components on different hosts; the "https://" scope
+    # trick (multihost config) admits both
+    site_a = sitegen.generate_site(
+        n_pages=40, hosts=("www.salesforce.com",), seed=13
+    )
+    site_b = sitegen.generate_site(
+        n_pages=40, hosts=("blogs.salesforce.com",), seed=77
+    )
+    web = site_a + site_b
+    cfg = CrawlerConfig(base_url="https://", disable_redirects=True,
+                        blocked=["/logout"])
+    seeds_a = [r["url"] for r in site_a[:2]]
+    seeds_b = [r["url"] for r in site_b[:2]]
+
+    seed_dir = str(tmp_path / "seeds")
+    os.makedirs(seed_dir)
+    ckpt = str(tmp_path / "ckpt")
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, web))
+
+    with open(os.path.join(seed_dir, "s1.txt"), "w") as f:
+        f.write("\n".join(seeds_a) + "\n# comment line\n")
+    st1 = stream_seed_crawl(eng, seed_dir, ckpt)
+    assert st1["enqueued"] == len(seeds_a)
+    v1 = {r["s"] for r in eng.visited_df().collect()}
+
+    with open(os.path.join(seed_dir, "s2.txt"), "w") as f:
+        f.write("\n".join(seeds_b) + "\n")
+    st2 = stream_seed_crawl(eng, seed_dir, ckpt)
+    v2 = {r["s"] for r in eng.visited_df().collect()}
+    # batch 2 extended the crawl into component B (checkpoint ensured
+    # only the new file was ingested: enqueued counts batch-2 seeds
+    # minus any already crawled)
+    assert v1 < v2
+
+    ref = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, web))
+    ref.crawl(seeds_a + seeds_b, max_waves=150)
+    vref = {r["s"] for r in ref.visited_df().collect()}
+    assert v2 == vref
