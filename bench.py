@@ -168,6 +168,28 @@ def _prev_round_times() -> dict[str, float]:
         return {}
 
 
+def bench_parse(spark, n_pages: int = 20_000) -> tuple[float, float]:
+    """HTML-parse kernel throughput: render a synthetic site and run
+    the Arrow-batched parse UDF over every page (the fetch stage's
+    parse step — the reference's ProcessPage.process analog)."""
+    from pyspark.sql import functions as F
+
+    from sitecrawler_spark.crawl import sitegen
+    from sitecrawler_spark.crawl.parse import parse_html_udf
+
+    rows = sitegen.generate_site(n_pages=n_pages, seed=7, links_per_page=10)
+    web = sitegen.site_to_df(spark, rows).select("url", "html").cache()
+    web.count()
+    t0 = time.time()
+    out = web.select(parse_html_udf(F.col("html")).alias("spans")).agg(
+        F.sum(F.size("spans"))
+    ).collect()[0][0]
+    dt = time.time() - t0
+    web.unpersist()
+    assert out and out > 0
+    return dt, n_pages / dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -227,6 +249,8 @@ def main() -> None:
         extra[name] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )
+    pr_sec, pr_rate = bench_parse(spark)
+
     # round-3 training-pipeline ops — separate block, headline stays
     # round-comparable
     pipeline: dict[str, float] = {}
@@ -255,6 +279,8 @@ def main() -> None:
                 "global_order_rows_per_sec": round(go_rate, 1),
                 "crawl_pages": cr_pages,
                 "crawl_pages_per_sec": round(cr_rate, 2),
+                "parse_sec": round(pr_sec, 3),
+                "parse_pages_per_sec": round(pr_rate, 1),
                 "calibration": {
                     "loadavg_start": [round(x, 2) for x in loadavg_start],
                     "loadavg_end": [round(x, 2) for x in os.getloadavg()],

@@ -203,3 +203,31 @@ def test_response_cache_flush_cadence():
     for i in range(12):
         c2.put(f"u{i}", (i,))
     assert c2.flushes == 0 and len(c2._d) > 0
+
+
+def test_package_zip_importable(tmp_path):
+    """submit/package.py builds a --py-files zip from which the full
+    package imports (north-rule packaging)."""
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "submit", "package.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert out.endswith("sitecrawler_spark.zip") and os.path.exists(out)
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, sys.argv[1]); "
+         "import sitecrawler_spark.kernel.urls_py as u; "
+         "import sitecrawler_spark.crawl.model; "
+         "import sitecrawler_spark.dedup.dedup; "
+         "import sitecrawler_spark.streaming.crawl_stream; "
+         "print(u.url_host('https://x.com/a'))",
+         out],
+        capture_output=True, text=True, cwd=str(tmp_path),
+    )
+    assert probe.returncode == 0, probe.stderr
+    assert probe.stdout.strip() == "x.com"
