@@ -394,3 +394,29 @@ def test_hashed_text_features_behave_like_embeddings(spark):
 
     assert cos(got[0], got[2]) > cos(got[0], got[3])
     assert cos(got[0], got[2]) > 0.8
+
+
+def test_incremental_pairs_two_frame_api_matches_query_shape(spark):
+    """minhash_lsh_pairs_against (two-frame production API: corpus read
+    from a materialized index) returns the same pair set as
+    q_incremental_dedup's single-scan construction."""
+    from sitecrawler_spark.dedup.dedup import minhash_lsh_pairs_against
+    from sitecrawler_spark.queries import q_incremental_dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    api = {
+        (r["batch_id"], r["corpus_id"])
+        for r in minhash_lsh_pairs_against(
+            batch, corpus, "text", "doc_id", n_hashes=8, n_bands=4, k=5
+        ).collect()
+    }
+    qry = {
+        (r["batch_id"], r["corpus_id"])
+        for r in q_incremental_dedup(spark, sf).collect()
+    }
+    assert api == qry and len(api) > 0
