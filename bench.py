@@ -163,7 +163,10 @@ def _prev_round_times() -> dict[str, float]:
     try:
         with open(files[-1]) as f:
             j = json.load(f)
-        return {**j.get("queries", {}), **j.get("dedup_ops", {})}
+        if "parsed" in j:  # driver wrapper: the bench line is nested
+            j = j["parsed"] or {}
+        return {**j.get("queries", {}), **j.get("dedup_ops", {}),
+                **j.get("pipeline_ops", {})}
     except Exception:
         return {}
 
