@@ -1042,6 +1042,28 @@ class SparkSiteCrawler:
             },
         )
 
+    def compact_state(self, max_parts: int = 1) -> list[str]:
+        """Maintenance compaction of the APPEND state tables (pages /
+        links / metrics): rewrite accumulated per-wave part dirs into
+        ``max_parts`` consolidated parts (Iceberg rewrite_data_files
+        analog — run between crawls, like Iceberg's maintenance
+        procedures). Returns the table names compacted. Readers only
+        ever see the atomic manifest publish; prior snapshots stay
+        valid until expire_snapshots."""
+        if self.store is None:
+            return []
+        m = self.store.latest()
+        if not m:
+            return []
+        sid = m["snapshot"] + 1
+        done = []
+        for name in ("pages", "links", "metrics"):
+            r = self.store.compact(self.spark, name, sid, max_parts=max_parts)
+            if r is not None:
+                done.append(name)
+                sid += 1
+        return done
+
     def resume(self) -> None:
         """Resume from the latest snapshot (hardPause/reset analog,
         SiteCrawler.java:412-430)."""

@@ -116,6 +116,52 @@ class SnapshotStore:
             return None
         return spark.read.parquet(*m["tables"][name])
 
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        snap_id: int,
+        max_parts: int = 1,
+        repartition_cols: list | None = None,
+    ) -> dict | None:
+        """Rewrite an APPEND table's accumulated per-wave part dirs into
+        ``max_parts`` consolidated parts and publish a new snapshot
+        whose manifest references only the rewritten files — the
+        ``rewrite_data_files`` (bin-packing compaction) analog. At one
+        part dir per wave, a 10^4-wave crawl otherwise leaves 10^4
+        directories of small files: the classic many-small-files
+        problem that degrades scan planning at 100 TB.
+
+        Readers are never torn: the rewrite lands in a NEW directory
+        and becomes visible only through the atomic manifest publish;
+        old parts stay until ``expire_snapshots`` reaps them (time
+        travel to pre-compaction snapshots keeps working)."""
+        m = self.latest()
+        if not m or not m["tables"].get(name):
+            return None
+        parts = m["tables"][name]
+        if len(parts) <= max_parts:
+            return None
+        df = spark.read.parquet(*parts)
+        out_dir = os.path.join(self.root, name, f"c{snap_id:08d}")
+        writer = (
+            df.repartition(*repartition_cols)
+            if repartition_cols
+            else df.coalesce(max_parts)
+        )
+        writer.write.mode("overwrite").parquet(out_dir)
+        manifest = {
+            "snapshot": snap_id,
+            "ts": time.time(),
+            "tables": {**m["tables"], name: [out_dir]},
+            "meta": {**m.get("meta", {}), "compacted": name},
+        }
+        tmp = self._manifest_path(snap_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(snap_id))
+        return manifest
+
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
 

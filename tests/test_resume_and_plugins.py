@@ -174,3 +174,51 @@ def test_resume_ignores_torn_tmp_manifest(spark, site, tmp_path):
     store.expire_snapshots(keep=1)
     assert not os.path.exists(torn)
     assert store.latest() is not None
+
+
+def test_compact_state_preserves_rows_and_resume(spark, site, tmp_path):
+    """Compaction (Iceberg rewrite_data_files analog): after a
+    multi-wave crawl the APPEND tables hold one part dir per wave;
+    compact_state rewrites them into one, row-for-row identical, old
+    parts stay readable until expiry, and resume + continued crawling
+    works off the compacted manifest."""
+    import os
+
+    state = str(tmp_path / "state")
+    cfg = CrawlerConfig(base_url=BASE, base_url_secure=SEC,
+                        disable_redirects=True)
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, site),
+                           state_dir=state)
+    eng.crawl(sitegen.seeds_for(site, 2), max_waves=10)
+
+    before = eng.store.latest()
+    assert len(before["tables"]["pages"]) > 1  # one part dir per wave
+    rows_before = sorted(
+        (r["full_url"], r["wave"])
+        for r in eng.store.read(spark, "pages").collect()
+    )
+
+    compacted = eng.compact_state(max_parts=1)
+    assert "pages" in compacted and "links" in compacted
+    after = eng.store.latest()
+    assert len(after["tables"]["pages"]) == 1
+    rows_after = sorted(
+        (r["full_url"], r["wave"])
+        for r in eng.store.read(spark, "pages").collect()
+    )
+    assert rows_after == rows_before
+    # old per-wave parts still on disk (time travel) until expiry
+    assert all(os.path.isdir(p) for p in before["tables"]["pages"])
+    eng.store.expire_snapshots(keep=1)
+    assert not any(os.path.isdir(p) for p in before["tables"]["pages"])
+    assert os.path.isdir(after["tables"]["pages"][0])
+
+    # resume off the compacted manifest and keep crawling
+    eng2 = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, site),
+                            state_dir=state)
+    eng2.resume()
+    assert sorted(
+        (r["full_url"], r["wave"])
+        for r in eng2.store.read(spark, "pages").collect()
+    ) == rows_before
+    eng2.crawl(max_waves=3)  # no error continuing off compacted state
