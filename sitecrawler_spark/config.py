@@ -93,6 +93,12 @@ class CrawlerConfig:
 
     # Target-only scale knobs (north rule)
     politeness_budget: int = 0            # max fetches per host per wave; 0 = unlimited
+    host_budgets: dict[str, int] = field(default_factory=dict)
+                                          # per-host overrides of the wave
+                                          # budget (robots Crawl-delay
+                                          # analog: slower hosts get a
+                                          # smaller per-wave cap); a host
+                                          # mapped to 0 is unlimited
     max_wave_size: int = 0                # global wave cap (≙ maxProcessWaiting); 0 = unlimited
     host_salts: int = 1                   # salt buckets for hot-host skew
     host_buckets: int = 8                 # bucket(host) partitioning of state tables

@@ -373,8 +373,28 @@ class SparkSiteCrawler:
         obs_ok = Observation(f"e{id(self)}_w{wave}_ok")
         ok = ok.observe(obs_ok, F.count(F.lit(1)).alias("c"))
         ok = ok.localCheckpoint(eager=True)
-        if cfg.politeness_budget > 0:
+        if cfg.politeness_budget > 0 or cfg.host_budgets:
             budget = cfg.politeness_budget
+            # per-host override map (robots Crawl-delay analog) as a
+            # pure map literal — no join, stays in codegen; cap NULL or
+            # <= 0 means unlimited for that host
+            if cfg.host_budgets:
+                kv = [
+                    F.lit(x)
+                    for h, b in sorted(cfg.host_budgets.items())
+                    for x in (h, b)
+                ]
+                override = F.create_map(*kv)[F.col("host")]
+            else:
+                override = F.lit(None).cast("int")
+            cap = F.coalesce(
+                override,
+                F.lit(budget if budget > 0 else None).cast("int"),
+            )
+
+            def within(rn):
+                return cap.isNull() | (cap <= 0) | (rn <= cap)
+
             pol = ok
             if cfg.host_salts > 1:
                 # two-phase top-k for hot-host skew (north rule N4): rank
@@ -387,12 +407,12 @@ class SparkSiteCrawler:
                 w_hs = Window.partitionBy("host", salt).orderBy(*pri)
                 pol = (
                     pol.withColumn("_srn", F.row_number().over(w_hs))
-                    .filter(F.col("_srn") <= budget)
+                    .filter(within(F.col("_srn")))
                     .drop("_srn")
                 )
             w_host = Window.partitionBy("host").orderBy(*pri)
             pol = pol.withColumn("_hrn", F.row_number().over(w_host))
-            fetch_set = pol.filter(F.col("_hrn") <= budget).drop("_hrn")
+            fetch_set = pol.filter(within(F.col("_hrn"))).drop("_hrn")
         else:
             fetch_set = ok
         # shortCircuitAfter: stop after counter exceeds N
@@ -446,7 +466,7 @@ class SparkSiteCrawler:
         deferred = frontier.join(
             fetch_set.select("discovery_order"), "discovery_order", "left_anti"
         ).join(ok.select("discovery_order"), "discovery_order", "semi") \
-            if cfg.politeness_budget > 0 or wave_cap > 0 \
+            if cfg.politeness_budget > 0 or cfg.host_budgets or wave_cap > 0 \
             or cfg.short_circuit_after != 0 else frontier.limit(0)
 
         if not getattr(self, "_discover_urls", True):

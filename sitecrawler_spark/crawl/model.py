@@ -225,7 +225,10 @@ class ReferenceCrawlModel:
     # -- budgeted wave mode (target-only politeness semantics) --------------
 
     def crawl_budgeted(
-        self, seed_paths: list[str] | None = None, budget: int = 0
+        self,
+        seed_paths: list[str] | None = None,
+        budget: int = 0,
+        host_budgets: dict[str, int] | None = None,
     ) -> CrawlResult:
         """Wave-scheduled crawl with a per-host politeness budget — the
         single-threaded oracle for the ENGINE's target-only budgeted
@@ -298,9 +301,13 @@ class ReferenceCrawlModel:
             deferred: list[tuple[str, int]] = []
             per_host: dict[str, int] = {}
             raw_by_order = {o: r for r, o in frontier}
+            overrides = host_budgets or {}
             for full, clean, order in wave_ok:
                 h = url_host(full)
-                if budget > 0 and per_host.get(h, 0) >= budget:
+                # per-host override (robots Crawl-delay analog) wins;
+                # cap <= 0 means unlimited for that host
+                cap = overrides.get(h, budget)
+                if cap > 0 and per_host.get(h, 0) >= cap:
                     deferred.append((raw_by_order[order], order))
                     continue
                 per_host[h] = per_host.get(h, 0) + 1

@@ -45,6 +45,10 @@ def main() -> None:
     ap.add_argument("--state-dir", required=True)
     ap.add_argument("--blocked", nargs="*", default=[])
     ap.add_argument("--politeness-budget", type=int, default=0)
+    ap.add_argument("--host-budget", action="append", default=[],
+                    metavar="HOST=N",
+                    help="per-host override of the politeness budget "
+                         "(robots Crawl-delay analog); repeatable")
     ap.add_argument("--max-wave-size", type=int, default=0)
     ap.add_argument("--short-circuit-after", type=int, default=0)
     ap.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default=None)
@@ -95,6 +99,10 @@ def main() -> None:
         blocked=args.blocked,
         disable_redirects=not args.follow_redirects,
         politeness_budget=args.politeness_budget,
+        host_budgets={
+            h: int(n)
+            for h, n in (x.split("=", 1) for x in args.host_budget)
+        },
         frontier_priority=args.frontier_priority,
         max_wave_size=args.max_wave_size,
         thread_limit=args.thread_limit,

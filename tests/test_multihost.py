@@ -170,3 +170,27 @@ def test_budgeted_model_matches_engine(spark, site):
     seq = ReferenceCrawlModel(cfg0, site).crawl(seeds)
     bud0 = ReferenceCrawlModel(cfg0, site).crawl_budgeted(seeds, budget=0)
     assert bud0.visited == seq.visited
+
+
+def test_per_host_budget_overrides_match_model(spark, site):
+    """host_budgets (robots Crawl-delay analog): per-host caps override
+    the global politeness budget — engine ≡ wave-model parity, and the
+    slow host's per-wave fetch count never exceeds its override."""
+    hb = {"blogs.salesforce.com": 1, "trailhead.salesforce.com": 3}
+    cfg = _cfg(politeness_budget=2, host_budgets=hb)
+    seeds = [r["url"] for r in site[:3]]
+    expected = ReferenceCrawlModel(cfg, site).crawl_budgeted(
+        seeds, budget=2, host_budgets=hb
+    )
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, site))
+    eng.crawl(seeds, max_waves=120)
+    assert [r["full_url"] for r in eng.visit_order_df().collect()] == (
+        expected.visit_order
+    )
+    assert {r["s"] for r in eng.visited_df().collect()} == expected.visited
+    per_wave = (
+        eng.pages.groupBy("wave", "host").count().collect()
+    )
+    for r in per_wave:
+        cap = hb.get(r["host"], 2)
+        assert r["count"] <= cap, (r["host"], r["wave"], r["count"])
