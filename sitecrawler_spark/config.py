@@ -65,9 +65,18 @@ class CrawlerConfig:
     # strict (depth, discovery_order) — shallow pages first under wave
     # caps/budgets; "host_depth" = (host, depth, discovery_order) — the
     # north star's partitioned priority key, grouping a host's budgeted
-    # slots before going deeper. Non-FIFO modes are target-only
-    # additions; the reference-parity gates all run in fifo.
+    # slots before going deeper; "host_score" = (-host_scores[host],
+    # discovery_order) — quality-driven scheduling from a score table
+    # (e.g. PageRank of the previous crawl's host graph). Non-FIFO
+    # modes are target-only additions; the reference-parity gates all
+    # run in fifo.
     frontier_priority: str = "fifo"
+    host_scores: dict[str, float] = field(default_factory=dict)
+                                          # frontier_priority="host_score":
+                                          # higher-scored hosts dequeue
+                                          # first under wave caps (e.g.
+                                          # host PageRank from a prior
+                                          # crawl); unlisted hosts = 0
     short_circuit_after: int = 0          # 0 = unlimited (SiteCrawler.java:242,477-491)
     disable_redirects: bool = False       # SiteCrawler.java:252,503-512
     enable_javascript: bool = False       # kept for config parity; parser is static HTML

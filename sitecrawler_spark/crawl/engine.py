@@ -339,6 +339,21 @@ class SparkSiteCrawler:
             pri = [F.col("discovery_order")]
         if cfg.frontier_priority == "host_depth":
             pri_cap = [F.col("host")] + pri
+        elif cfg.frontier_priority == "host_score":
+            # quality-driven dequeue: higher-scored hosts first under
+            # wave caps (score map literal — no join; unlisted = 0)
+            if cfg.host_scores:
+                kv = [
+                    F.lit(x)
+                    for h, v in sorted(cfg.host_scores.items())
+                    for x in (h, float(v))
+                ]
+                score = F.coalesce(
+                    F.create_map(*kv)[F.col("host")], F.lit(0.0)
+                )
+            else:
+                score = F.lit(0.0)
+            pri_cap = [score.desc()] + pri
         else:
             pri_cap = pri
 

@@ -39,9 +39,15 @@ def main() -> None:
                     help="read --seeds via spark.read.text (billion-seed "
                          "lists never touch the driver)")
     ap.add_argument("--frontier-priority",
-                    choices=["fifo", "depth", "host_depth"], default="fifo",
+                    choices=["fifo", "depth", "host_depth", "host_score"],
+                    default="fifo",
                     help="dequeue policy: fifo = reference parity; "
-                         "depth / host_depth = BFS-strict priority keys")
+                         "depth / host_depth = BFS-strict priority keys; "
+                         "host_score = quality-driven (--host-score)")
+    ap.add_argument("--host-score", action="append", default=[],
+                    metavar="HOST=SCORE",
+                    help="host quality scores for --frontier-priority "
+                         "host_score (e.g. PageRank of a prior crawl)")
     ap.add_argument("--state-dir", required=True)
     ap.add_argument("--blocked", nargs="*", default=[])
     ap.add_argument("--politeness-budget", type=int, default=0)
@@ -104,6 +110,10 @@ def main() -> None:
             for h, n in (x.split("=", 1) for x in args.host_budget)
         },
         frontier_priority=args.frontier_priority,
+        host_scores={
+            h: float(v)
+            for h, v in (x.split("=", 1) for x in args.host_score)
+        },
         max_wave_size=args.max_wave_size,
         thread_limit=args.thread_limit,
         download_vs_process_ratio=args.download_vs_process_ratio,

@@ -194,3 +194,34 @@ def test_per_host_budget_overrides_match_model(spark, site):
     for r in per_wave:
         cap = hb.get(r["host"], 2)
         assert r["count"] <= cap, (r["host"], r["wave"], r["count"])
+
+
+def test_frontier_priority_host_score(spark, site):
+    """host_score priority: with a 1-page wave cap, the highest-scored
+    host's seed is fetched first (fifo fetches seed #1 regardless);
+    final crawl state is identical — priority permutes work, never
+    admission."""
+    seeds = [r["url"] for r in site[:3]]
+    seed_hosts = [u.split("/")[2] for u in seeds]
+    # score the LAST seed's host highest so score order != fifo order
+    scores = {seed_hosts[-1]: 10.0, seed_hosts[0]: 1.0}
+    eng_s = SparkSiteCrawler(
+        spark,
+        _cfg(max_wave_size=1, frontier_priority="host_score",
+             host_scores=scores),
+        sitegen.site_to_df(spark, site),
+    )
+    eng_s.crawl(seeds, max_waves=12)
+    first = eng_s.pages.orderBy("wave").select("host", "full_url").collect()[0]
+    assert first["host"] == seed_hosts[-1]
+
+    eng_f = SparkSiteCrawler(
+        spark, _cfg(frontier_priority="host_score", host_scores=scores),
+        sitegen.site_to_df(spark, site),
+    )
+    eng_f.crawl(seeds, max_waves=60)
+    eng_0 = SparkSiteCrawler(spark, _cfg(), sitegen.site_to_df(spark, site))
+    eng_0.crawl(seeds, max_waves=60)
+    assert {r["s"] for r in eng_f.visited_df().collect()} == {
+        r["s"] for r in eng_0.visited_df().collect()
+    }
