@@ -327,6 +327,13 @@ class SparkSiteCrawler:
         visited = self.visited
 
         fr = frontier.withColumn("full_url", self._full_url(F.col("raw_url")))
+        if getattr(self, "_host_scores_df", None) is not None:
+            # broadcast score-table join (host count too large for a
+            # map literal): adds _host_score for the host_score priority
+            fr = fr.withColumn("_h", K.url_host(F.col("full_url"))).join(
+                F.broadcast(self._host_scores_df), F.col("_h") == F.col("_score_host"),
+                "left",
+            ).drop("_h", "_score_host")
 
         # frontier dequeue priority (north rule "priority queue"):
         # fifo = pure discovery order (reference parity); depth /
@@ -341,8 +348,12 @@ class SparkSiteCrawler:
             pri_cap = [F.col("host")] + pri
         elif cfg.frontier_priority == "host_score":
             # quality-driven dequeue: higher-scored hosts first under
-            # wave caps (score map literal — no join; unlisted = 0)
-            if cfg.host_scores:
+            # wave caps. Small score sets ride as a map literal (no
+            # join); web-scale host counts use the score-table join
+            # installed by set_host_scores_df.
+            if getattr(self, "_host_scores_df", None) is not None:
+                score = F.coalesce(F.col("_host_score"), F.lit(0.0))
+            elif cfg.host_scores:
                 kv = [
                     F.lit(x)
                     for h, v in sorted(cfg.host_scores.items())
@@ -1076,6 +1087,21 @@ class SparkSiteCrawler:
                 "visited": [F.pmod(F.xxhash64("s"), F.lit(self.cfg.host_buckets))],
             },
         )
+
+    def set_host_scores_df(self, scores: DataFrame | None) -> None:
+        """Install a (host, rank) score TABLE for
+        frontier_priority="host_score" — the web-scale alternative to
+        cfg.host_scores (a map literal cannot hold 10^7 hosts; a
+        broadcast — or at extreme cardinality, shuffled — join can).
+        Typically fed from operators.graph.host_pagerank of a prior
+        crawl's links table. Pass None to clear."""
+        if scores is None:
+            self._host_scores_df = None
+            return
+        self._host_scores_df = scores.select(
+            F.col("host").alias("_score_host"),
+            F.col("rank").cast("double").alias("_host_score"),
+        ).localCheckpoint(eager=True)
 
     def compact_state(self, max_parts: int = 1) -> list[str]:
         """Maintenance compaction of the APPEND state tables (pages /

@@ -84,3 +84,31 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def host_pagerank(links: DataFrame, n_iters: int = 5) -> DataFrame:
+    """Host-level PageRank over a crawl's links table (src, dst full
+    URLs): collapse URLs to hosts, drop self-loops, rank the host
+    graph. The standard crawl-scheduling signal — feed the result into
+    the next crawl as ``frontier_priority="host_score"`` (via
+    cfg.host_scores for small host sets, or engine.set_host_scores_df
+    for web-scale host counts). Returns (host, rank)."""
+    from sitecrawler_spark.kernel import urls_spark as K
+
+    e = (
+        links.filter(F.col("src").isNotNull())
+        .select(
+            K.url_host(F.col("src")).alias("src"),
+            K.url_host(F.col("dst")).alias("dst"),
+        )
+        .filter((F.col("src") != F.col("dst"))
+                & (F.col("src") != "") & (F.col("dst") != ""))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    pr = pagerank(nodes, e, n_iters=n_iters)
+    return pr.select(F.col("id").alias("host"), "rank")

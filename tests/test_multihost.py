@@ -225,3 +225,42 @@ def test_frontier_priority_host_score(spark, site):
     assert {r["s"] for r in eng_f.visited_df().collect()} == {
         r["s"] for r in eng_0.visited_df().collect()
     }
+
+
+def test_pagerank_feeds_prioritized_recrawl(spark, site):
+    """Closed loop: crawl → host-level PageRank of the links table →
+    prioritized re-crawl via the score-TABLE path (set_host_scores_df —
+    the web-scale alternative to the cfg.host_scores map literal).
+    The re-crawl's first capped wave fetches a seed of the top-ranked
+    seed host, and the final state matches the unprioritized crawl."""
+    from sitecrawler_spark.operators.graph import host_pagerank
+
+    seeds = [r["url"] for r in site[:3]]
+    eng1 = SparkSiteCrawler(spark, _cfg(), sitegen.site_to_df(spark, site))
+    eng1.crawl(seeds, max_waves=60)
+    scores = host_pagerank(eng1.links)
+    ranks = {r["host"]: r["rank"] for r in scores.collect()}
+    assert len(ranks) >= 3 and all(v > 0 for v in ranks.values())
+
+    seed_hosts = [u.split("/")[2] for u in seeds]
+    top_seed_host = max(seed_hosts, key=lambda h: ranks.get(h, 0.0))
+
+    eng2 = SparkSiteCrawler(
+        spark, _cfg(max_wave_size=1, frontier_priority="host_score"),
+        sitegen.site_to_df(spark, site),
+    )
+    eng2.set_host_scores_df(scores)
+    eng2.crawl(seeds, max_waves=12)
+    first = eng2.pages.orderBy("wave").select("host").collect()[0]
+    assert first["host"] == top_seed_host
+
+    # full prioritized crawl converges to the same state
+    eng3 = SparkSiteCrawler(
+        spark, _cfg(frontier_priority="host_score"),
+        sitegen.site_to_df(spark, site),
+    )
+    eng3.set_host_scores_df(scores)
+    eng3.crawl(seeds, max_waves=60)
+    assert {r["s"] for r in eng3.visited_df().collect()} == {
+        r["s"] for r in eng1.visited_df().collect()
+    }
