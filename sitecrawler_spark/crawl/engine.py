@@ -79,7 +79,11 @@ class SparkSiteCrawler:
                 state_dir,
                 {
                     "frontier": OVERWRITE,
-                    "visited": OVERWRITE,
+                    # append-only by nature: each wave commits ONLY its
+                    # insert delta — an OVERWRITE table would rewrite the
+                    # whole visited set every wave, O(history) per wave
+                    # and quadratic over a 10^4-wave crawl
+                    "visited": APPEND,
                     "pages": APPEND,
                     "links": APPEND,
                     "metrics": APPEND,
@@ -595,6 +599,10 @@ class SparkSiteCrawler:
         ).localCheckpoint(eager=True)
         if ins_part is not None:
             self._visited_parts.append(ins_part)
+        # what the snapshot commit writes for `visited`: the wave's
+        # delta normally; None = the retry path folded/deleted rows, so
+        # this wave must REPLACE the table (Iceberg overwrite op)
+        self._last_visited_delta = ins_part
         self._pages_parts.append(pages_out)
         self._links_parts.append(links_part)
         self.visited_counter += n_fetched
@@ -1068,15 +1076,17 @@ class SparkSiteCrawler:
             F.col("fetched").cast("long"), F.col("errors").cast("long"),
             F.col("parsed").cast("long"),
         ).unionByName(wave_row)
+        delta = getattr(self, "_last_visited_delta", None)
         self.store.commit(
             self.wave,
             {
                 "frontier": self.frontier,
-                "visited": self.visited,
+                "visited": self.visited if delta is None else delta,
                 "pages": wave_pages,
                 "links": wave_links,
                 "metrics": mdf,
             },
+            replace=(set() if delta is not None else {"visited"}),
             meta={
                 "wave": self.wave,
                 "visited_counter": self.visited_counter,
@@ -1118,7 +1128,7 @@ class SparkSiteCrawler:
             return []
         sid = m["snapshot"] + 1
         done = []
-        for name in ("pages", "links", "metrics"):
+        for name in ("pages", "links", "metrics", "visited"):
             r = self.store.compact(self.spark, name, sid, max_parts=max_parts)
             if r is not None:
                 done.append(name)

@@ -14,9 +14,11 @@ On a cluster this layer swaps for real Iceberg (`writeTo(...).append()`
 gives the same atomic-visibility property locally: a torn write leaves
 a stale manifest, never a half-visible snapshot.
 
-Overwrite-tables (frontier, visited) rewrite per wave; append-tables
-(pages, links, metrics) add a part per wave and the manifest lists all
-live parts.
+Overwrite-tables (frontier) rewrite per wave; append-tables (visited,
+pages, links, metrics) add a part per wave — visited commits only its
+per-wave insert DELTA (rewriting the whole set per wave would be
+O(history) per wave) and falls back to a replace commit on the rare
+retry-deletion wave — and the manifest lists all live parts.
 """
 
 from __future__ import annotations
@@ -82,10 +84,15 @@ class SnapshotStore:
         dfs: dict[str, DataFrame],
         meta: dict | None = None,
         repartition: dict[str, list] | None = None,
+        replace: set[str] | None = None,
     ) -> dict:
         """Write data files for this snapshot, then atomically publish
         the manifest. ``repartition[name]`` optionally names columns to
-        hash-partition the written files by (bucket(host) analog)."""
+        hash-partition the written files by (bucket(host) analog).
+        ``replace``: APPEND-mode tables whose part list is RESET to this
+        commit's files (Iceberg's overwrite operation on an otherwise
+        append table — e.g. the retry path rewrites the visited set
+        after deletions, one wave in ten thousand)."""
         prev = self.latest()
         manifest: dict = {
             "snapshot": snap_id,
@@ -100,7 +107,7 @@ class SnapshotStore:
             if repartition and name in repartition:
                 writer = df.repartition(*repartition[name])
             writer.write.mode("overwrite").parquet(part_dir)
-            if mode == OVERWRITE:
+            if mode == OVERWRITE or (replace and name in replace):
                 manifest["tables"][name] = [part_dir]
             else:
                 manifest["tables"][name] = manifest["tables"].get(name, []) + [part_dir]

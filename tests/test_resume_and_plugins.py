@@ -222,3 +222,45 @@ def test_compact_state_preserves_rows_and_resume(spark, site, tmp_path):
         for r in eng2.store.read(spark, "pages").collect()
     ) == rows_before
     eng2.crawl(max_waves=3)  # no error continuing off compacted state
+
+
+def test_visited_delta_commits_and_retry_replace(spark, tmp_path):
+    """`visited` commits per-wave DELTAS (append parts), not a full
+    rewrite — and the retry path's deletion wave issues a REPLACE
+    commit so the store equals the in-memory set even after un-seeing
+    URLs. Resume off both shapes must agree with the engine."""
+    state = str(tmp_path / "state")
+    site = sitegen.generate_site(n_pages=25, seed=9, p_transient=0.4)
+    cfg = CrawlerConfig(base_url=BASE, base_url_secure=SEC,
+                        disable_redirects=True, blocked=["/logout"],
+                        seen_filter="cuckoo", seen_filter_expected_n=5000,
+                        retry_transient=True)
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, site),
+                           state_dir=state)
+    eng.crawl(sitegen.seeds_for(site, 2), max_waves=80)
+    assert eng.pages.filter(F.col("error_code") == 2000).count() > 0
+
+    stored = {r["s"] for r in eng.store.read(spark, "visited").collect()}
+    live = {r["s"] for r in eng.visited_df().collect()}
+    assert stored == live
+
+    # without retries, visited accumulates as one delta part per wave
+    site2 = sitegen.generate_site(n_pages=25, seed=4)
+    state2 = str(tmp_path / "state2")
+    cfg2 = CrawlerConfig(base_url=BASE, base_url_secure=SEC,
+                         disable_redirects=True)
+    eng2 = SparkSiteCrawler(spark, cfg2, sitegen.site_to_df(spark, site2),
+                            state_dir=state2)
+    eng2.crawl(sitegen.seeds_for(site2, 2), max_waves=10)
+    m = eng2.store.latest()
+    assert len(m["tables"]["visited"]) == eng2.wave  # one delta per wave
+    assert {r["s"] for r in eng2.store.read(spark, "visited").collect()} == {
+        r["s"] for r in eng2.visited_df().collect()
+    }
+
+    eng3 = SparkSiteCrawler(spark, cfg2, sitegen.site_to_df(spark, site2),
+                            state_dir=state2)
+    eng3.resume()
+    assert {r["s"] for r in eng3.visited_df().collect()} == {
+        r["s"] for r in eng2.visited_df().collect()
+    }
