@@ -123,19 +123,27 @@ def q_prepend_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-F3/F6: seen-set anti-join on exact AND cleaned form
     (SiteCrawler.java:1204-1224). Visited = every 3rd doc's url + clean."""
-    urls = _urls(spark, sf_dir)
+    # materialize the derived corpus + clean ONCE: four consumers
+    # (both visited branches, the candidate side, and the joins) would
+    # otherwise each re-run the parquet scan + URL derivation + clean
+    # kernel (measured 10.3 s → 5.4 s at sf0.1/local[32])
     clean = K.clean_url(F.col("url"), ALLOWED_PARAMS, True)
+    urls = (
+        _urls(spark, sf_dir)
+        .select("doc_id", "url", clean.alias("url_clean"))
+        .localCheckpoint(eager=True)
+    )
     visited = (
         urls.filter(F.col("doc_id") % 3 == 0)
         .select(F.col("url").alias("s"))
         .unionByName(
             urls.filter(F.col("doc_id") % 3 == 0)
-            .select(clean.alias("s"))
+            .select(F.col("url_clean").alias("s"))
             .filter(F.col("s").isNotNull())
         )
     )
     cand = urls.filter(F.col("doc_id") % 3 != 0).select(
-        "doc_id", "url", clean.alias("url_clean")
+        "doc_id", "url", "url_clean"
     )
     out = cand.join(visited, cand.url == visited.s, "left_anti")
     out = out.join(visited, out.url_clean == visited.s, "left_anti")
