@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": _queries.q_ann_lsh,
         "q_ann_lsh_multi": _queries.q_ann_lsh_multi,
         "q_ann_ivf": _queries.q_ann_ivf,
+        "q_ann_pq": _queries.q_ann_pq,
         "q_embed_neardup": _queries.q_embed_neardup,
         "q_dedup_clusters": _queries.q_dedup_clusters,
         "q_span_stats": _queries.q_span_stats,
@@ -120,4 +121,5 @@ def oracle_sql() -> dict[str, str]:
     out["q_embed_neardup"] = _oracles.embed_neardup_oracle()
     out["q_pagerank"] = _oracles.pagerank_oracle()
     out["q_ann_kmeans"] = _oracles.ann_kmeans_oracle()
+    out["q_ann_pq"] = _oracles.ann_pq_oracle()
     return out

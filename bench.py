@@ -265,7 +265,8 @@ def main() -> None:
     for name in ("q_span_media_align", "q_sequence_packing",
                  "q_decontamination", "q_stratified_sample",
                  "q_mix_weights", "q_incremental_dedup", "q_ann_filtered",
-                 "q_quality_filter", "q_events_session_windows"):
+                 "q_quality_filter", "q_events_session_windows",
+                 "q_ann_pq"):
         pipeline[name] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )

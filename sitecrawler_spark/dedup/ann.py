@@ -321,6 +321,132 @@ def kmeans_centroids(
     )
 
 
+def _dot6(a: Column, b: Column) -> Column:
+    """round(a·b, 6) over double arrays — explicit left-fold order so
+    DuckDB's list_sum reproduces the result bit-for-bit."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def _l2sq6(a: Column, b: Column) -> Column:
+    """round(‖a−b‖², 6) over double arrays (PQ code assignment)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m_sub: int = 4,
+    k_cent: int = 8,
+    stride: int = 61,
+    k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou, Douze & Schmid, "Product
+    quantization for nearest neighbor search", TPAMI 2011): split the
+    vector into ``m_sub`` subspaces, encode every corpus vector as the
+    id of its nearest sub-codeword (argmin L2), and score probes by
+    Asymmetric Distance Computation — per-probe lookup tables of
+    subspace dot products, summed across subspaces. Memory per corpus
+    vector drops from dim×4 bytes to m_sub codes.
+
+    Codebooks here are DETERMINISTIC stride-sampled corpus subvectors
+    (no RNG, so the independent SQL oracle reproduces them exactly);
+    swap in pq-trained centroids for production recall. Distributed
+    shape: codebooks and probe tables are tiny broadcasts — encoding
+    and scoring are map-side; the only shuffle is the per-probe top-k
+    window. Returns (query_id, neighbor_id, rank, adc)."""
+    dsub = dim // m_sub
+    vec_d = F.col(vec_col).cast("array<double>")
+
+    cb = (
+        corpus.filter((F.col(id_col) % stride) == 0)
+        .select(F.col(id_col).alias("_sid"), vec_d.alias("cvec"))
+        .withColumn(
+            "cid",
+            (F.row_number().over(Window.orderBy("_sid")) - 1).cast("int"),
+        )
+        .filter(F.col("cid") < k_cent)
+        .localCheckpoint(eager=True)
+    )
+
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"), vec_d.alias("nvec")
+    )
+    for m in range(m_sub):
+        cb_m = cb.select(
+            F.col("cid").alias(f"_cid{m}"),
+            F.slice("cvec", m * dsub + 1, dsub).alias(f"_cv{m}"),
+        )
+        sub = F.slice("nvec", m * dsub + 1, dsub)
+        w = Window.partitionBy("neighbor_id").orderBy("_d", f"_cid{m}")
+        codes = (
+            codes.join(F.broadcast(cb_m))
+            .withColumn("_d", _l2sq6(sub, F.col(f"_cv{m}")))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .withColumnRenamed(f"_cid{m}", f"code{m}")
+            .drop("_d", "_r", f"_cv{m}")
+        )
+    codes = codes.drop("nvec")
+
+    # per-subspace ADC lookup tables: (query_id, cid, t_m) — probes ×
+    # k_cent rows each, all tiny broadcasts
+    q = probes.select(F.col(id_col).alias("query_id"), vec_d.alias("qvec"))
+    out = codes  # (neighbor_id, code0..code{M-1})
+    for m in range(m_sub):
+        tab_m = (
+            q.crossJoin(F.broadcast(cb.select("cid", "cvec")))
+            .select(
+                F.col("query_id").alias(f"_q{m}"),
+                F.col("cid").alias(f"_c{m}"),
+                _dot6(
+                    F.slice("qvec", m * dsub + 1, dsub),
+                    F.slice("cvec", m * dsub + 1, dsub),
+                ).alias(f"t{m}"),
+            )
+        )
+        cond = out[f"code{m}"] == tab_m[f"_c{m}"]
+        if m > 0:
+            cond = cond & (out["query_id"] == tab_m[f"_q{m}"])
+        out = out.join(F.broadcast(tab_m), cond).drop(f"_c{m}")
+        out = (
+            out.withColumnRenamed("_q0", "query_id")
+            if m == 0
+            else out.drop(f"_q{m}")
+        )
+    # EXPLICIT left-associated sum so the SQL oracle's t0+t1+t2+t3 is
+    # bit-identical
+    adc = F.col("t0")
+    for m in range(1, m_sub):
+        adc = adc + F.col(f"t{m}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.col("neighbor_id")
+    )
+    return (
+        out.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", F.round(adc, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -749,6 +749,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, probes, dim=64, k=5, n_planes=6)
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (encode + asymmetric distance): corpus
+    compressed to m_sub codes per vector, probes scored via broadcast
+    lookup tables — the memory-bound ANN family completing brute /
+    LSH / IVF / filtered. Deterministic sampled codebooks so the SQL
+    oracle mirrors bit-for-bit."""
+    from sitecrawler_spark.dedup.ann import pq_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
 def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved span documents (input_hint shape): build a REAL
     array<struct<kind,text,media_ref,offset>> column from document text,

@@ -420,3 +420,42 @@ def test_incremental_pairs_two_frame_api_matches_query_shape(spark):
         for r in q_incremental_dedup(spark, sf).collect()
     }
     assert api == qry and len(api) > 0
+
+
+def test_pq_shortlist_rerank_recall(spark):
+    """PQ in its production shape: ADC shortlist (top-50 compressed-
+    domain candidates) + exact cosine rerank to top-5 — recall vs
+    brute force must be usable on random embeddings. Pure-ADC top-5
+    itself is oracle-gated (q_ann_pq); this pins retrieval quality."""
+    from sitecrawler_spark.dedup.ann import (
+        brute_force_topk,
+        cosine_sim,
+        pq_topk,
+    )
+    from pyspark.sql import Window as W
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, probes, k=5).collect()
+    }
+    short = pq_topk(emb, probes, k=50).select("query_id", "neighbor_id")
+    qv = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nvec"),
+    )
+    rer = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("sim", cosine_sim(F.col("qvec"), F.col("nvec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    top = rer.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in top.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, recall  # random-vector corpus; ADC@50 shortlist
