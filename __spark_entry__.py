@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_filtered": _queries.q_ann_filtered,
         "q_quality_filter": _queries.q_quality_filter,
         "q_events_session_windows": _queries.q_events_session_windows,
+        "q_events_asof": _queries.q_events_asof,
+        "q_events_range_join": _queries.q_events_range_join,
         "q_span_media_align": _queries.q_span_media_align,
         "q_sequence_packing": _queries.q_sequence_packing,
         "q_decontamination": _queries.q_decontamination,

@@ -1101,6 +1101,32 @@ ORACLES["q_quality_filter"] = ORACLES["q_quality_filter"].replace(
 )
 
 
+ORACLES["q_events_asof"] = """
+WITH a AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click'),
+b AS (SELECT user_id, ts AS vts, event_id AS vid FROM events
+      WHERE event_type = 'view')
+SELECT a.user_id, a.event_id,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       b.vid AS view_event_id,
+       strftime(b.vts, '%Y-%m-%d %H:%M:%S') AS view_ts
+FROM a ASOF LEFT JOIN b
+  ON a.user_id = b.user_id AND b.vts <= a.ts
+"""
+
+
+ORACLES["q_events_range_join"] = """
+WITH intervals AS (
+  SELECT event_id AS interval_id, ts AS lo,
+         ts + INTERVAL 2 HOUR AS hi
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT e.event_id, i.interval_id
+FROM events e JOIN intervals i
+  ON e.ts >= i.lo AND e.ts < i.hi
+"""
+
+
 def ann_pq_oracle(
     dim: int = 64, m_sub: int = 4, k_cent: int = 8, stride: int = 61,
     k: int = 5,

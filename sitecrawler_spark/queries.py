@@ -749,6 +749,56 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, probes, dim=64, k=5, n_planes=6)
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (operators/joins.asof_join): every click event gets
+    the user's latest view event at or before it — the temporal join
+    Spark lacks natively, built as union + one keyed window (no
+    BroadcastNestedLoopJoin, no per-key explosion). Oracle: DuckDB's
+    native ASOF LEFT JOIN — a genuinely independent implementation."""
+    from sitecrawler_spark.operators.joins import asof_join
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+    )
+    out = asof_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="vts",
+        payload_cols=["vid", "vts"],
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("r_vid").alias("view_event_id"),
+        F.date_format("r_vts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed RANGE join (operators/joins.range_join_bucketed):
+    events matched to (possibly overlapping) 2-hour incident windows
+    anchored at every 97th event — interval containment via bucket
+    explode + equi-join + exact filter, never a nested-loop theta
+    join. Oracle: the plain SQL BETWEEN join."""
+    from sitecrawler_spark.operators.joins import range_join_bucketed
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    intervals = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
+    )
+    pts = ev.select("event_id", "ts")
+    out = range_join_bucketed(pts, intervals, "ts", "lo", "hi")
+    return out.select("event_id", "interval_id").orderBy(
+        "event_id", "interval_id"
+    )
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (encode + asymmetric distance): corpus
     compressed to m_sub codes per vector, probes scored via broadcast

@@ -175,3 +175,15 @@ def test_new_pipeline_queries_jvm_native(spark):
     assert "BroadcastExchange" in d
     s = _plan(Q.q_stratified_sample(spark, "/root/testdata/sf0.001"))
     assert "WindowGroupLimit" in s
+
+
+def test_temporal_joins_avoid_nested_loop(spark):
+    """asof_join and range_join_bucketed exist precisely to avoid the
+    BroadcastNestedLoopJoin a theta-join formulation produces — pin
+    that neither plan contains one (and no Python eval nodes)."""
+    for name in ["q_events_asof", "q_events_range_join"]:
+        df = getattr(Q, name)(spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
