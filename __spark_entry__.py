@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_session_windows": _queries.q_events_session_windows,
         "q_events_asof": _queries.q_events_asof,
         "q_events_range_join": _queries.q_events_range_join,
+        "q_cms_word_counts": _queries.q_cms_word_counts,
+        "q_hll_distinct_users": _queries.q_hll_distinct_users,
         "q_span_media_align": _queries.q_span_media_align,
         "q_sequence_packing": _queries.q_sequence_packing,
         "q_decontamination": _queries.q_decontamination,

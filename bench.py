@@ -266,7 +266,8 @@ def main() -> None:
                  "q_decontamination", "q_stratified_sample",
                  "q_mix_weights", "q_incremental_dedup", "q_ann_filtered",
                  "q_quality_filter", "q_events_session_windows",
-                 "q_ann_pq", "q_events_asof", "q_events_range_join"):
+                 "q_ann_pq", "q_events_asof", "q_events_range_join",
+                 "q_cms_word_counts", "q_hll_distinct_users"):
         pipeline[name] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )

@@ -1127,6 +1127,52 @@ FROM events e JOIN intervals i
 """
 
 
+ORACLES["q_cms_word_counts"] = """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+cells AS (
+  SELECT j, ('0x' || substr(md5(concat('cms' || j || ':', word)), 1, 15))::BIGINT % 64 AS bucket,
+         count(*) AS c
+  FROM w, (VALUES (0), (1), (2)) rows(j)
+  GROUP BY 1, 2
+),
+items AS (SELECT DISTINCT word FROM w)
+SELECT i.word,
+       least(coalesce(c0.c, 0), coalesce(c1.c, 0), coalesce(c2.c, 0)) AS est
+FROM items i
+LEFT JOIN cells c0 ON c0.j = 0 AND c0.bucket = ('0x' || substr(md5(concat('cms0:', i.word)), 1, 15))::BIGINT % 64
+LEFT JOIN cells c1 ON c1.j = 1 AND c1.bucket = ('0x' || substr(md5(concat('cms1:', i.word)), 1, 15))::BIGINT % 64
+LEFT JOIN cells c2 ON c2.j = 2 AND c2.bucket = ('0x' || substr(md5(concat('cms2:', i.word)), 1, 15))::BIGINT % 64
+"""
+
+
+ORACLES["q_hll_distinct_users"] = """
+WITH u AS (SELECT DISTINCT user_id::VARCHAR AS u FROM events),
+hv AS (
+  SELECT (('0x' || substr(md5(u), 1, 15))::BIGINT >> 54) AS bucket,
+         ((('0x' || substr(md5(u), 1, 15))::BIGINT & 18014398509481983) >> 38) AS v
+  FROM u
+),
+regs AS (
+  SELECT bucket, max((CASE WHEN v >= 32768 THEN 1 WHEN v >= 16384 THEN 2 WHEN v >= 8192 THEN 3 WHEN v >= 4096 THEN 4 WHEN v >= 2048 THEN 5 WHEN v >= 1024 THEN 6 WHEN v >= 512 THEN 7 WHEN v >= 256 THEN 8 WHEN v >= 128 THEN 9 WHEN v >= 64 THEN 10 WHEN v >= 32 THEN 11 WHEN v >= 16 THEN 12 WHEN v >= 8 THEN 13 WHEN v >= 4 THEN 14 WHEN v >= 2 THEN 15 WHEN v >= 1 THEN 16 ELSE 17 END)) AS reg FROM hv GROUP BY bucket
+),
+agg AS (
+  SELECT sum(power(2.0, -reg)) AS s, count(*) AS nonzero FROM regs
+),
+est AS (
+  SELECT CASE WHEN (2905.460551022604) / (s + (64 - nonzero)) <= 160.0
+              AND (64 - nonzero) > 0
+         THEN 64.0 * ln(64.0 / (64 - nonzero))
+         ELSE (2905.460551022604) / (s + (64 - nonzero)) END AS e
+  FROM agg
+)
+SELECT round(e, 4) AS est,
+       (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct
+FROM est
+"""
+
+
 def ann_pq_oracle(
     dim: int = 64, m_sub: int = 4, k_cent: int = 8, stride: int = 61,
     k: int = 5,

@@ -749,6 +749,43 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, probes, dim=64, k=5, n_planes=6)
 
 
+def q_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries over the document word stream
+    (sketches.py): d=3 × w=64 counters, estimate = min over rows —
+    deterministic integers end to end, so the DuckDB mirror matches
+    exactly. Behavioral guarantee (never undercounts) is pinned in
+    tests; the sketch stays d×w cells at any corpus size."""
+    from sitecrawler_spark.sketches import cms_build, cms_estimate
+
+    register_views(spark, sf_dir)
+    words = spark.table("documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    cms = cms_build(words, "word")
+    items = words.distinct()
+    return cms_estimate(cms, items, "word")
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate over events (sketches.py):
+    2^6 registers from the portable hash; the harmonic sum is exact
+    (powers of two), so the estimate is reproducible bit-for-bit in
+    the DuckDB mirror. Output carries the exact distinct count too —
+    accuracy is pinned in tests."""
+    from sitecrawler_spark.sketches import hll_estimate, hll_registers
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        F.col("user_id").cast("string").alias("u")
+    ).distinct()
+    regs = hll_registers(ev, "u")
+    est = hll_estimate(regs)
+    exact = spark.table("events").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.crossJoin(exact)
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (operators/joins.asof_join): every click event gets
     the user's latest view event at or before it — the temporal join

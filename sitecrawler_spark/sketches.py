@@ -1,0 +1,113 @@
+"""Deterministic distributed sketches as pure DataFrame ops.
+
+Both sketches use the portable md5 hash, so the independent DuckDB
+oracle reproduces them exactly: Count-Min counters are exact integers
+and HLL registers are small ints whose 2^-reg terms are exact powers
+of two (their sum is exact in IEEE double) — no cross-engine float
+drift anywhere.
+
+- Count-Min (Cormode & Muthukrishnan, J.Algorithms 2005): d hash rows
+  × w counters; estimate = min over rows. One-sided error (never
+  undercounts). Build = one groupBy((row, bucket)) — at 100 TB the
+  sketch is d×w counters regardless of input size, the whole point.
+- HyperLogLog (Flajolet et al., AOFA 2007): register j = max leading-
+  zero rank of hashes landing in bucket j; estimate = bias-corrected
+  harmonic mean, linear-counting fallback for the small range. Build
+  = one groupBy(bucket).max — mergeable state, constant size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sitecrawler_spark.kernel.urls_spark import portable_hash64
+
+
+def _cms_bucket(c: Column, row: int, w: int) -> Column:
+    return F.pmod(
+        portable_hash64(F.concat(F.lit(f"cms{row}:"), c)), F.lit(w)
+    )
+
+
+def cms_build(df: DataFrame, col: str, d: int = 3, w: int = 64) -> DataFrame:
+    """Count-Min table: (row, bucket, cnt) — d×w cells max."""
+    rows = None
+    for j in range(d):
+        part = df.select(
+            F.lit(j).alias("row"),
+            _cms_bucket(F.col(col), j, w).alias("bucket"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame, items: DataFrame, col: str, d: int = 3, w: int = 64
+) -> DataFrame:
+    """Point-query estimates for ``items[col]``: min over the d row
+    counters (broadcast the d×w table — it is constant-size)."""
+    est = items
+    for j in range(d):
+        t = cms.filter(F.col("row") == j).select(
+            F.col("bucket").alias(f"_b{j}"), F.col("cnt").alias(f"_c{j}")
+        )
+        est = (
+            est.withColumn(f"_b{j}", _cms_bucket(F.col(col), j, w))
+            .join(F.broadcast(t), f"_b{j}", "left")
+            .withColumn(f"_c{j}", F.coalesce(F.col(f"_c{j}"), F.lit(0)))
+        )
+    mins = F.least(*[F.col(f"_c{j}") for j in range(d)])
+    return est.select(col, mins.alias("est"))
+
+
+def _rho_chain(v: Column, bits: int):
+    """Rank of the leftmost 1-bit in a ``bits``-wide value (1-based;
+    bits+1 when v == 0) as an exact integer CASE chain — no float log,
+    so DuckDB mirrors it bit-for-bit."""
+    expr = F.lit(bits + 1)
+    # build from the smallest threshold up so the largest matches win
+    chain = F.when(v >= F.lit(1 << (bits - 1)), F.lit(1))
+    for r in range(2, bits + 1):
+        chain = chain.when(v >= F.lit(1 << (bits - r)), F.lit(r))
+    return F.coalesce(chain, expr)
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = 6, bits: int = 16
+) -> DataFrame:
+    """HLL register table: (bucket, reg) with 2^p buckets; bucket =
+    top p bits of the portable hash, reg = max rho of the next
+    ``bits`` bits. One groupBy — mergeable (max) state."""
+    h = portable_hash64(F.col(col))
+    bucket = F.shiftrightunsigned(h, 60 - p).cast("int")
+    suffix = h.bitwiseAND(F.lit((1 << (60 - p)) - 1))
+    window = F.shiftrightunsigned(suffix, 60 - p - bits)
+    rho = _rho_chain(window, bits)
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
+    """Bias-corrected estimate from the register table (single row:
+    (est)). The 2^-reg terms are exact powers of two, so the harmonic
+    sum is exact in double regardless of aggregation order; only the
+    final multiply/divide and the linear-counting log are rounded."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s"),
+        F.count("*").alias("nonzero"),
+    )
+    est = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("nonzero")))
+    zeros = F.lit(m) - F.col("nonzero")
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    out = F.when(
+        (est <= F.lit(2.5 * m)) & (zeros > 0), small
+    ).otherwise(est)
+    return agg.select(F.round(out, 4).alias("est"))

@@ -459,3 +459,37 @@ def test_pq_shortlist_rerank_recall(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in top.collect()}
     recall = len(exact & got) / len(exact)
     assert recall >= 0.5, recall  # random-vector corpus; ADC@50 shortlist
+
+
+def test_cms_never_undercounts_and_hll_accuracy(spark):
+    """Sketch guarantees: Count-Min is one-sided (estimate >= true
+    count for every queried item); HLL's estimate lands within a
+    plausible band of the exact distinct count at m=64 registers."""
+    from sitecrawler_spark.sketches import (
+        cms_build,
+        cms_estimate,
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    truth = {r["word"]: r["n"] for r in
+             words.groupBy("word").agg(F.count("*").alias("n")).collect()}
+    cms = cms_build(words, "word")
+    est = {r["word"]: r["est"] for r in
+           cms_estimate(cms, words.distinct(), "word").collect()}
+    assert set(est) == set(truth)
+    for w, n in truth.items():
+        assert est[w] >= n, (w, est[w], n)
+    # some collision inflation exists at w=64 with this vocabulary,
+    # proving these are genuine sketch estimates, not exact counts
+    assert any(est[w] > truth[w] for w in truth)
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    users = ev.select(F.col("user_id").cast("string").alias("u")).distinct()
+    exact = users.count()
+    got = hll_registers(users, "u")
+    e = hll_estimate(got).collect()[0]["est"]
+    # standard error ~1.04/sqrt(64) ≈ 13%; allow 3 sigma
+    assert abs(e - exact) / exact < 0.4, (e, exact)
