@@ -33,15 +33,27 @@ def _cms_bucket(c: Column, row: int, w: int) -> Column:
 
 
 def cms_build(df: DataFrame, col: str, d: int = 3, w: int = 64) -> DataFrame:
-    """Count-Min table: (row, bucket, cnt) — d×w cells max."""
-    rows = None
-    for j in range(d):
-        part = df.select(
-            F.lit(j).alias("row"),
-            _cms_bucket(F.col(col), j, w).alias("bucket"),
-        )
-        rows = part if rows is None else rows.unionByName(part)
-    return rows.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+    """Count-Min table: (row, bucket, cnt) — d×w cells max.
+
+    ONE corpus scan: each token emits its d (row, bucket) cells as an
+    inline array that explodes into the single groupBy — not d unioned
+    passes over the token stream (VERDICT r03 #4). The aggregation
+    keeps map-side partial combine, so the exchange carries at most
+    d×w rows per input partition."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                _cms_bucket(F.col(col), j, w).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("_c"))
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def cms_estimate(

@@ -187,3 +187,34 @@ def test_temporal_joins_avoid_nested_loop(spark):
         assert "BroadcastNestedLoop" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_cms_build_single_scan_single_exchange(spark):
+    """Count-Min build must be ONE corpus pass: each token explodes its
+    d cells inline into a single partially-aggregated groupBy — not d
+    unioned scans of the token stream (VERDICT r03 #4)."""
+    from sitecrawler_spark.sketches import cms_build
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    plan = _plan(cms_build(words, "word"))
+    # formatted mode prints each node twice (tree line + details header)
+    assert plan.count("Scan parquet") == 2, plan[:1500]
+    assert plan.count("Exchange") == 2, plan[:1500]
+    assert plan.count("HashAggregate") == 4  # partial + final, twice each
+
+
+def test_pq_encode_uses_hash_aggregate_not_windows(spark):
+    """PQ encode must be a min-aggregation with map-side partial combine
+    (shuffle = N corpus rows), not per-subspace row_number windows
+    shuffling N×k_cent rows (VERDICT r03 #3). The only Window left is
+    the final per-probe top-k."""
+    import re
+
+    df = Q.q_ann_pq(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert len(re.findall(r"\bWindow\b", plan)) == 2, "extra Window nodes"
+    assert "SortAggregate" not in plan
+    lines = [ln for ln in plan.splitlines()
+             if "HashAggregate" in ln and "Object" not in ln]
+    assert len(lines) >= 4, plan[:2000]  # partial + final encode agg
