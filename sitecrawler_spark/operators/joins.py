@@ -31,16 +31,41 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For every left row, attach the right row with the greatest
-    ``right_ts`` <= ``left_ts`` within the same ``on`` key (backward
-    as-of; ties on timestamp prefer the right row — <= semantics,
-    matching DuckDB's ASOF JOIN). Right columns come back as
-    ``payload_cols`` (null when no prior right row exists — left
-    join semantics)."""
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
-    payload = F.struct(*[F.col(c) for c in payload_cols])
+    """For every left row, attach one right row within the same ``on``
+    key (left-join semantics — nulls when no match), selected by
+    ``direction`` — the pandas ``merge_asof`` / DuckDB ASOF surface:
+
+    - ``backward``: greatest ``right_ts`` <= ``left_ts`` (ties on the
+      timestamp prefer the right row — <= semantics, matching DuckDB's
+      ASOF JOIN);
+    - ``forward``: smallest ``right_ts`` >= ``left_ts``;
+    - ``nearest``: whichever of those two is closer in absolute time;
+      an exact tie in distance prefers the BACKWARD row (pandas
+      merge_asof's prior-row tie rule).
+
+    ``tolerance_seconds`` bounds the match: a candidate farther than
+    the tolerance from ``left_ts`` becomes null (applied per side
+    BEFORE the nearest choice, like merge_asof's ``tolerance``).
+
+    DETERMINISM: when several right rows share (key, right_ts), the one
+    with the greatest payload tuple (field order = ``payload_cols``)
+    wins — pinned via the window's ordering, not left to shuffle
+    nondeterminism (ADVICE r03).
+
+    Right columns come back as ``r_<payload_col>``. Plan shape: union +
+    one hash shuffle on the key with per-direction window passes over
+    the SAME partitioning — never a BroadcastNestedLoopJoin, never a
+    per-key join explosion."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    # payload carries the matched right_ts alongside the user payload so
+    # tolerance / nearest can measure distance after the window pass
+    payload = F.struct(
+        F.col(right_ts).alias("_rts"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_pp"),
+    )
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
@@ -60,19 +85,74 @@ def asof_join(
         *[F.lit(None).cast(dict(zip(lcols, [left.schema[c].dataType for c in lcols]))[c]).alias(f"_l_{c}") for c in lcols],
     )
     u = l.unionByName(r)
-    # right rows (_side=0) sort BEFORE left rows at equal ts, so a
-    # right row at exactly left_ts is visible (<= semantics)
-    w = (
+    # backward: right rows (_side=0) sort BEFORE left rows at equal ts,
+    # so a right row at exactly left_ts is visible (<= semantics); among
+    # right ties on _ts the greatest _p sorts last → last() picks it
+    wb = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_p")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    matched = u.withColumn(
-        "_m", F.last(F.col("_p"), ignorenulls=True).over(w)
-    ).filter(F.col("_side") == 1)
-    out = matched.select(
+    # forward: left rows (_side=1, desc) sort BEFORE right rows at equal
+    # ts so an equal-ts right is in the following frame (>= semantics);
+    # _p desc puts the greatest payload first among right-ts ties
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side").desc(), F.col("_p").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    matched = u
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+    if need_b:
+        matched = matched.withColumn(
+            "_mb", F.last(F.col("_p"), ignorenulls=True).over(wb)
+        )
+    if need_f:
+        matched = matched.withColumn(
+            "_mf", F.first(F.col("_p"), ignorenulls=True).over(wf)
+        )
+    matched = matched.filter(F.col("_side") == 1)
+
+    # distance in seconds: numeric ts casts straight to double;
+    # timestamp(_ntz)/date hops through TIMESTAMP first (NTZ → double is
+    # not a legal cast). Both sides shift identically, so differences
+    # are exact epoch-second deltas.
+    from pyspark.sql import types as T
+
+    ts_type = u.schema["_ts"].dataType
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        def _secs(c):
+            return c.cast("timestamp").cast("double")
+    else:
+        def _secs(c):
+            return c.cast("double")
+    lt = _secs(F.col("_ts"))
+    if need_b:
+        db = lt - _secs(F.col("_mb._rts"))
+        mb = F.col("_mb")
+        if tolerance_seconds is not None:
+            mb = F.when(db <= F.lit(float(tolerance_seconds)), mb)
+    if need_f:
+        df_ = _secs(F.col("_mf._rts")) - lt
+        mf = F.col("_mf")
+        if tolerance_seconds is not None:
+            mf = F.when(df_ <= F.lit(float(tolerance_seconds)), mf)
+    if direction == "backward":
+        m = mb
+    elif direction == "forward":
+        m = mf
+    else:  # nearest: closer side wins; exact distance tie → backward
+        mb_n, mf_n = mb, mf
+        m = (
+            F.when(mb_n.isNull(), mf_n)
+            .when(mf_n.isNull(), mb_n)
+            .when(db <= df_, mb_n)
+            .otherwise(mf_n)
+        )
+    out = matched.withColumn("_m", m).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col("_m").getField(c).alias(f"r_{c}") for c in payload_cols],
+        *[F.col("_m._pp").getField(c).alias(f"r_{c}") for c in payload_cols],
     )
     return out
 

@@ -1030,8 +1030,19 @@ bands AS (
   ]) AS band_key
   FROM sigs
 )
+,
+-- mirror the engine's corpus-side skew cap (banded_pairs_against
+-- max_bucket_size=10000): an over-cap corpus bucket is excluded on
+-- BOTH sides of the gate, so the cap can never silently diverge at a
+-- scale factor where a bucket crosses it (ADVICE r03)
+corpus_ok AS (
+  SELECT band_key FROM bands WHERE NOT is_batch
+  GROUP BY band_key HAVING count(*) <= 10000
+)
 SELECT DISTINCT a.id AS batch_id, b.id AS corpus_id
-FROM bands a JOIN bands b ON a.band_key = b.band_key
+FROM bands a
+JOIN bands b ON a.band_key = b.band_key
+JOIN corpus_ok c ON b.band_key = c.band_key
 WHERE a.is_batch AND NOT b.is_batch
 """
 
@@ -1112,6 +1123,26 @@ SELECT a.user_id, a.event_id,
        strftime(b.vts, '%Y-%m-%d %H:%M:%S') AS view_ts
 FROM a ASOF LEFT JOIN b
   ON a.user_id = b.user_id AND b.vts <= a.ts
+"""
+
+
+ORACLES["q_events_asof_tolerance"] = """
+WITH a AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click'),
+b AS (SELECT user_id, ts AS vts, event_id AS vid FROM events
+      WHERE event_type = 'view')
+SELECT a.user_id, a.event_id,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       m.vid AS view_event_id,
+       strftime(m.vts, '%Y-%m-%d %H:%M:%S') AS view_ts
+FROM a LEFT JOIN LATERAL (
+  SELECT b.vid, b.vts FROM b
+  WHERE b.user_id = a.user_id
+    AND abs(epoch(b.vts) - epoch(a.ts)) <= 600
+  ORDER BY abs(epoch(b.vts) - epoch(a.ts)) ASC,
+           CASE WHEN b.vts <= a.ts THEN 0 ELSE 1 END ASC
+  LIMIT 1
+) m ON true
 """
 
 

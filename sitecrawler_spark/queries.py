@@ -814,6 +814,36 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join, full merge_asof surface (VERDICT r03 #6): every
+    click gets its NEAREST view event within ±10 minutes — both
+    directions considered, exact-distance ties prefer the backward
+    (prior) row, matches farther than the tolerance become null.
+    Oracle: an independent DuckDB LATERAL formulation (order by
+    absolute distance with a backward-preferring tie key, LIMIT 1)."""
+    from sitecrawler_spark.operators.joins import asof_join
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+    )
+    out = asof_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="vts",
+        payload_cols=["vid", "vts"], direction="nearest",
+        tolerance_seconds=600,
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("r_vid").alias("view_event_id"),
+        F.date_format("r_vts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed RANGE join (operators/joins.range_join_bucketed):
     events matched to (possibly overlapping) 2-hour incident windows

@@ -181,7 +181,8 @@ def test_temporal_joins_avoid_nested_loop(spark):
     """asof_join and range_join_bucketed exist precisely to avoid the
     BroadcastNestedLoopJoin a theta-join formulation produces — pin
     that neither plan contains one (and no Python eval nodes)."""
-    for name in ["q_events_asof", "q_events_range_join"]:
+    for name in ["q_events_asof", "q_events_asof_tolerance",
+                 "q_events_range_join"]:
         df = getattr(Q, name)(spark, "/root/testdata/sf0.001")
         plan = _plan(df)
         assert "BroadcastNestedLoop" not in plan, name
