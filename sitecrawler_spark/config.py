@@ -128,6 +128,11 @@ class CrawlerConfig:
                                           # arrays; evicted shards spill as
                                           # .npy artifacts under the state
                                           # dir (Iceberg state-table analog)
+    cuckoo_n_shards: int = 1              # independent sub-filters keyed by
+                                          # xxhash64(key,9) % n (same routing
+                                          # as the bloom shards)
+    cuckoo_max_hot_shards: int | None = None  # LRU cap + .npy spill, mirror
+                                          # of bloom_max_hot_shards
 
     # Config-bean parity with the reference's scaling knobs
     # (SiteCrawler.java:126,155,162; beans/CrawlerConfiguration.java).

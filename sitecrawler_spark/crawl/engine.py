@@ -102,6 +102,9 @@ class SparkSiteCrawler:
         self.wave = 0
         self.visited_counter = 0
         self._max_order = -1  # running max discovery_order (driver state)
+        # snapshot the next commit's APPEND deltas chain off (None =
+        # latest): set by _commit_snapshot / resume / compact_state
+        self._snap_base: int | None = None
 
     @staticmethod
     def _union_parts(parts: list[DataFrame]) -> DataFrame | None:
@@ -164,6 +167,27 @@ class SparkSiteCrawler:
             n_shards=self.cfg.bloom_n_shards,
             spill_dir=spill_dir,
             max_hot_shards=self.cfg.bloom_max_hot_shards,
+        )
+
+    def _make_cuckoo(self):
+        """Sharded cuckoo sized from config — same shard-route + LRU/
+        spill machinery as the bloom (VERDICT r03 #2), so neither the
+        driver nor any executor holds the full fingerprint table on the
+        resume-rebuild path."""
+        from sitecrawler_spark.operators.seen import SparkCuckooFilter
+
+        spill_dir = None
+        if self.cfg.cuckoo_max_hot_shards is not None:
+            if self.store is not None:
+                spill_dir = os.path.join(self.store.root, "_cuckoo_shards")
+            else:
+                spill_dir = tempfile.mkdtemp(prefix="cuckoo_shards_")
+        return SparkCuckooFilter.sized(
+            self.spark,
+            self.cfg.seen_filter_expected_n,
+            n_shards=self.cfg.cuckoo_n_shards,
+            spill_dir=spill_dir,
+            max_hot_shards=self.cfg.cuckoo_max_hot_shards,
         )
 
     # -- seeding -------------------------------------------------------------
@@ -246,15 +270,12 @@ class SparkSiteCrawler:
         if cfg.seen_filter == "bloom":
             self.seen = self._make_bloom()
         elif cfg.seen_filter == "cuckoo":
-            from sitecrawler_spark.operators.seen import SparkCuckooFilter
-
-            self.seen = SparkCuckooFilter.sized(
-                self.spark, cfg.seen_filter_expected_n
-            )
+            self.seen = self._make_cuckoo()
         self._pages_parts = []
         self._links_parts = []
         self.wave = 0
         self.visited_counter = 0
+        self._snap_base = None
 
     def enqueue_seeds(self, df: DataFrame) -> int:
         """ADD seeds to a live crawl without resetting state — the
@@ -310,16 +331,13 @@ class SparkSiteCrawler:
         if self.cfg.seen_filter == "bloom":
             self.seen = self._make_bloom()
         elif self.cfg.seen_filter == "cuckoo":
-            from sitecrawler_spark.operators.seen import SparkCuckooFilter
-
-            self.seen = SparkCuckooFilter.sized(
-                self.spark, self.cfg.seen_filter_expected_n
-            )
+            self.seen = self._make_cuckoo()
         self._pages_parts = []
         self._links_parts = []
         self.wave = 0
         self.visited_counter = 0
         self._max_order = -1
+        self._snap_base = None
 
     # -- one wave ------------------------------------------------------------
 
@@ -1077,8 +1095,14 @@ class SparkSiteCrawler:
             F.col("parsed").cast("long"),
         ).unionByName(wave_row)
         delta = getattr(self, "_last_visited_delta", None)
+        # snapshot ids allocate monotonically from the store, NOT from
+        # self.wave: a compaction publishes manifests above the wave
+        # counter, and a wave-numbered commit after it would land below
+        # the compaction manifest — invisible to latest(), dropped on
+        # resume (ADVICE r03). The wave number lives in meta only.
+        sid = self.store.next_snapshot_id()
         self.store.commit(
-            self.wave,
+            sid,
             {
                 "frontier": self.frontier,
                 "visited": self.visited if delta is None else delta,
@@ -1096,7 +1120,12 @@ class SparkSiteCrawler:
                 "frontier": [F.pmod(F.xxhash64("raw_url"), F.lit(self.cfg.host_buckets))],
                 "visited": [F.pmod(F.xxhash64("s"), F.lit(self.cfg.host_buckets))],
             },
+            # deltas chain off the snapshot this engine last saw — after
+            # a time-travel resume that is the OLDER manifest, not
+            # latest() (rollback-and-continue semantics)
+            base_snapshot_id=self._snap_base,
         )
+        self._snap_base = sid
 
     def set_host_scores_df(self, scores: DataFrame | None) -> None:
         """Install a (host, rank) score TABLE for
@@ -1132,19 +1161,32 @@ class SparkSiteCrawler:
             r = self.store.compact(self.spark, name, sid, max_parts=max_parts)
             if r is not None:
                 done.append(name)
+                self._snap_base = sid  # later waves chain off the rewrite
                 sid += 1
         return done
 
-    def resume(self) -> None:
+    def resume(self, snapshot_id: int | None = None) -> None:
         """Resume from the latest snapshot (hardPause/reset analog,
-        SiteCrawler.java:412-430)."""
-        m = self.store.latest()
+        SiteCrawler.java:412-430) — or TIME-TRAVEL to an older
+        ``snapshot_id`` and continue from exactly the state that
+        manifest published (Iceberg rollback: subsequent commits chain
+        off the resumed snapshot, not off the newer manifests rolled
+        away from)."""
+        m = (
+            self.store.manifest(snapshot_id)
+            if snapshot_id is not None
+            else self.store.latest()
+        )
         if m is None:
             raise ValueError("no snapshot to resume from")
-        self.frontier = self.store.read(self.spark, "frontier")
-        self._visited_parts = [self.store.read(self.spark, "visited")]
-        pages = self.store.read(self.spark, "pages")
-        links = self.store.read(self.spark, "links")
+        sid = m["snapshot"]
+        self._snap_base = sid
+        self.frontier = self.store.read(self.spark, "frontier", snapshot_id=sid)
+        self._visited_parts = [
+            self.store.read(self.spark, "visited", snapshot_id=sid)
+        ]
+        pages = self.store.read(self.spark, "pages", snapshot_id=sid)
+        links = self.store.read(self.spark, "links", snapshot_id=sid)
         self._pages_parts = [pages] if pages is not None else []
         self._links_parts = [links] if links is not None else []
         self.wave = m["meta"]["wave"] + 1
@@ -1160,12 +1202,10 @@ class SparkSiteCrawler:
             self.seen = self._make_bloom()
             self.seen.add_df(self.visited, "s")
         elif self.cfg.seen_filter == "cuckoo":
-            from sitecrawler_spark.operators.seen import SparkCuckooFilter
-
-            self.seen = SparkCuckooFilter.sized(
-                self.spark, self.cfg.seen_filter_expected_n
-            )
+            self.seen = self._make_cuckoo()
             # distributed bulk build: placement happens in executors and
             # only the packed table transits the driver — NOT 16 B/key of
-            # (fp, i1) rows for the whole visited history (VERDICT r02 #3)
+            # (fp, i1) rows for the whole visited history (VERDICT r02 #3);
+            # with cuckoo_max_hot_shards set the packed fill LRU-spills,
+            # bounding even the coordinator copy (VERDICT r03 #2)
             self.seen.build_df(self.visited, "s")

@@ -58,7 +58,99 @@ def _positions_col(key: Column, k: int, m: int) -> Column:
     return F.array(*[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)) for i in range(k)])
 
 
-class SparkBloomFilter:
+class _ShardStore:
+    """Shared shard-residency machinery for the sharded filters: a
+    driver-side LRU of hot numpy shard arrays with optional spill of
+    cold shards to .npy artifacts (bounding coordinator memory at
+    K × shard-bytes), plus lazy per-shard Spark broadcasts so an
+    executor only ever fetches the slices its partitions probe.
+
+    A fresh instance never adopts artifacts left in ``spill_dir`` by a
+    previous run — stale bits from an earlier crawl (or a different
+    filter geometry) would silently inflate the FP rate, and resume
+    rebuilds from the authoritative visited table anyway (ADVICE r03).
+    """
+
+    def __init__(
+        self,
+        spark,
+        n_shards: int,
+        spill_dir: str | None,
+        max_hot_shards: int | None,
+    ):
+        self.spark = spark
+        self.n_shards = max(1, n_shards)
+        self._shards: OrderedDict[int, np.ndarray] = OrderedDict()
+        self._bcs: dict[int, object] = {}
+        self._dirty: set[int] = set()
+        if max_hot_shards is not None and spill_dir is None:
+            raise ValueError("max_hot_shards requires spill_dir")
+        if max_hot_shards is not None and max_hot_shards < 1:
+            raise ValueError("max_hot_shards must be >= 1")
+        self.spill_dir = spill_dir
+        self.max_hot = max_hot_shards
+        self._spilled: set[int] = set()
+        if spill_dir:
+            os.makedirs(spill_dir, exist_ok=True)
+            for name in os.listdir(spill_dir):  # never adopt stale bits
+                if name.startswith("shard_") and name.endswith(".npy"):
+                    os.remove(os.path.join(spill_dir, name))
+
+    def _new_shard(self) -> np.ndarray:  # subclass: empty shard array
+        raise NotImplementedError
+
+    def _shard_path(self, sh: int) -> str:
+        return os.path.join(self.spill_dir, f"shard_{sh:05d}.npy")
+
+    def _shard_col(self, key: Column) -> Column:
+        return F.pmod(F.xxhash64(key, F.lit(9)), F.lit(self.n_shards)).cast("int")
+
+    def _get_shard(self, sh: int, create: bool = False) -> np.ndarray | None:
+        """Hot shard, loading from the spill artifact when cold."""
+        arr = self._shards.get(sh)
+        if arr is not None:
+            self._shards.move_to_end(sh)
+            return arr
+        if sh in self._spilled:
+            arr = np.load(self._shard_path(sh))
+            self._shards[sh] = arr
+            self._evict_to_cap()
+            return arr
+        if create:
+            arr = self._new_shard()
+            self._shards[sh] = arr
+            self._evict_to_cap()
+            return arr
+        return None
+
+    def _evict_to_cap(self) -> None:
+        if self.max_hot is None:
+            return
+        while len(self._shards) > self.max_hot:
+            sh, arr = self._shards.popitem(last=False)  # LRU
+            tmp = self._shard_path(sh) + ".tmp.npy"
+            np.save(tmp, arr)  # appends .npy only if missing — it has one
+            os.replace(tmp, self._shard_path(sh))
+            self._spilled.add(sh)
+
+    def hot_shard_bytes(self) -> int:
+        """Driver-resident shard bytes (test/observability hook)."""
+        return sum(a.nbytes for a in self._shards.values())
+
+    def _any_shard_touched(self) -> bool:
+        return bool(self._shards) or bool(self._spilled)
+
+    def _broadcasts(self) -> dict:
+        for sh in self._dirty:
+            old = self._bcs.pop(sh, None)
+            if old is not None:
+                old.unpersist()
+            self._bcs[sh] = self.spark.sparkContext.broadcast(self._get_shard(sh))
+        self._dirty.clear()
+        return dict(self._bcs)
+
+
+class SparkBloomFilter(_ShardStore):
     """Sharded bloom filter: ``n_shards`` independent slices keyed by
     ``xxhash64(key, 9) % n_shards``, one Spark broadcast per shard (lazy
     executor fetch — each executor pulls only the slices it probes).
@@ -77,33 +169,17 @@ class SparkBloomFilter:
         spill_dir: str | None = None,
         max_hot_shards: int | None = None,
     ):
-        self.n_shards = max(1, n_shards)
-        # per-shard bit count, multiple of 64
-        self.m = max(64, ((m_bits // self.n_shards + 63) // 64) * 64)
-        self.k = k
-        self.spark = spark
-        self.saturated = False
         # LRU of driver-resident ("hot") shard arrays. With a
         # max_hot_shards cap, evicted shards persist as .npy artifacts
         # under spill_dir (the SnapshotStore root's state-table analog —
         # see ICEBERG.md): the driver holds HANDLES to cold shards, not
         # bits, bounding coordinator memory at K × m/8 bytes regardless
         # of total filter size (VERDICT r02 #4).
-        self._shards: OrderedDict[int, np.ndarray] = OrderedDict()
-        self._bcs: dict[int, object] = {}
-        self._dirty: set[int] = set()
-        if max_hot_shards is not None and spill_dir is None:
-            raise ValueError("max_hot_shards requires spill_dir")
-        if max_hot_shards is not None and max_hot_shards < 1:
-            raise ValueError("max_hot_shards must be >= 1")
-        self.spill_dir = spill_dir
-        self.max_hot = max_hot_shards
-        self._spilled: set[int] = set()
-        if spill_dir:
-            os.makedirs(spill_dir, exist_ok=True)
-            for name in os.listdir(spill_dir):  # warm restart: adopt artifacts
-                if name.startswith("shard_") and name.endswith(".npy"):
-                    self._spilled.add(int(name[6:-4]))
+        super().__init__(spark, n_shards, spill_dir, max_hot_shards)
+        # per-shard bit count, multiple of 64
+        self.m = max(64, ((m_bits // self.n_shards + 63) // 64) * 64)
+        self.k = k
+        self.saturated = False
 
     @classmethod
     def sized(
@@ -128,45 +204,8 @@ class SparkBloomFilter:
             max_hot_shards=max_hot_shards,
         )
 
-    # -- shard residency (LRU + spill) --------------------------------------
-
-    def _shard_path(self, sh: int) -> str:
-        return os.path.join(self.spill_dir, f"shard_{sh:05d}.npy")
-
-    def _get_shard(self, sh: int, create: bool = False) -> np.ndarray | None:
-        """Hot shard, loading from the spill artifact when cold."""
-        arr = self._shards.get(sh)
-        if arr is not None:
-            self._shards.move_to_end(sh)
-            return arr
-        if sh in self._spilled:
-            arr = np.load(self._shard_path(sh))
-            self._shards[sh] = arr
-            self._evict_to_cap()
-            return arr
-        if create:
-            arr = np.zeros((self.m + 63) // 64, dtype=np.uint64)
-            self._shards[sh] = arr
-            self._evict_to_cap()
-            return arr
-        return None
-
-    def _evict_to_cap(self) -> None:
-        if self.max_hot is None:
-            return
-        while len(self._shards) > self.max_hot:
-            sh, arr = self._shards.popitem(last=False)  # LRU
-            tmp = self._shard_path(sh) + ".tmp.npy"
-            np.save(tmp, arr)  # appends .npy only if missing — it has one
-            os.replace(tmp, self._shard_path(sh))
-            self._spilled.add(sh)
-
-    def hot_shard_bytes(self) -> int:
-        """Driver-resident shard bytes (test/observability hook)."""
-        return sum(a.nbytes for a in self._shards.values())
-
-    def _shard_col(self, key: Column) -> Column:
-        return F.pmod(F.xxhash64(key, F.lit(9)), F.lit(self.n_shards)).cast("int")
+    def _new_shard(self) -> np.ndarray:
+        return np.zeros((self.m + 63) // 64, dtype=np.uint64)
 
     def add_df(self, df: DataFrame, col: str) -> None:
         """OR the keys of ``df[col]`` into their shards: distributed
@@ -194,15 +233,6 @@ class SparkBloomFilter:
                 grp["bits"].to_numpy().astype(np.int64).view(np.uint64),
             )
             self._dirty.add(int(sh))
-
-    def _broadcasts(self) -> dict:
-        for sh in self._dirty:
-            old = self._bcs.pop(sh, None)
-            if old is not None:
-                old.unpersist()
-            self._bcs[sh] = self.spark.sparkContext.broadcast(self._get_shard(sh))
-        self._dirty.clear()
-        return dict(self._bcs)
 
     def maybe_contains(self, key: Column) -> Column:
         """Boolean Column: False ⇒ definitely not in the filter. Shard id
@@ -275,27 +305,45 @@ def anti_join_seen(
 # Cuckoo filter (deletable approximate membership)
 # --------------------------------------------------------------------------
 
-class SparkCuckooFilter:
+class SparkCuckooFilter(_ShardStore):
     """Bucketed cuckoo filter: 4-slot buckets, 16-bit fingerprints,
     partial-key cuckoo hashing (i2 = i1 XOR hash(fp)). Supports delete —
     required for retry re-admission of transiently failed URLs, which
-    the bloom layer cannot un-see."""
+    the bloom layer cannot un-see.
+
+    SHARDED like the bloom (VERDICT r03 #2): keys route to
+    ``n_shards`` INDEPENDENT sub-filters by ``xxhash64(key, 9) %
+    n_shards`` (both candidate buckets of a key live in its own shard's
+    table, so kicking never crosses shards). Each shard's (n, 4) uint16
+    table is its own lazy Spark broadcast — executors fetch only the
+    slices their partitions probe, a mutation re-broadcasts only dirty
+    shards, and with ``max_hot_shards`` the driver LRU-spills cold
+    shards to .npy artifacts: at 10^10 keys (~24 GB of fingerprints)
+    neither the driver nor any single executor holds the full table."""
 
     SLOTS = 4
     MAX_KICKS = 500
 
-    def __init__(self, n_buckets: int, spark):
-        self.n = 1 << max(4, (n_buckets - 1).bit_length())  # power of two
-        self.spark = spark
-        self.table = np.zeros((self.n, self.SLOTS), dtype=np.uint16)
-        self._bc = None
-        # a failed insert (table full after MAX_KICKS) means the filter
-        # can return false NEGATIVES for that key — anti_join_seen must
-        # stop trusting it (exact-anti-join fallback). Sticky by design.
+    def __init__(
+        self,
+        n_buckets: int,
+        spark,
+        n_shards: int = 1,
+        spill_dir: str | None = None,
+        max_hot_shards: int | None = None,
+    ):
+        super().__init__(spark, n_shards, spill_dir, max_hot_shards)
+        # per-shard bucket count, power of two (i1/i2 mask arithmetic)
+        per = (n_buckets + self.n_shards - 1) // self.n_shards
+        self.n = 1 << max(4, (per - 1).bit_length())
+        # a failed insert (bucket chain full after MAX_KICKS) means the
+        # filter can return false NEGATIVES for that key — anti_join_seen
+        # must stop trusting it (exact-anti-join fallback). Sticky.
         self.saturated = False
         self._rng = np.random.default_rng(42)
         # fp → alt-offset hash, precomputed ONCE with Spark's own xxhash64
         # so driver-side kicking and executor-side probing agree exactly
+        # (128 KiB driver-only state; probes derive i2 JVM-side instead)
         rows = (
             spark.range(1 << 16)
             .select(
@@ -309,47 +357,80 @@ class SparkCuckooFilter:
             self._fp_h[r["fp"]] = r["h"]
 
     @classmethod
-    def sized(cls, spark, expected_n: int, load: float = 0.84) -> "SparkCuckooFilter":
-        return cls(max(16, int(expected_n / (cls.SLOTS * load))), spark)
+    def sized(
+        cls,
+        spark,
+        expected_n: int,
+        load: float = 0.84,
+        n_shards: int = 1,
+        spill_dir: str | None = None,
+        max_hot_shards: int | None = None,
+    ) -> "SparkCuckooFilter":
+        return cls(
+            max(16, int(expected_n / (cls.SLOTS * load))),
+            spark,
+            n_shards=n_shards,
+            spill_dir=spill_dir,
+            max_hot_shards=max_hot_shards,
+        )
 
-    # derivation: fp = (xxhash64(key,1) & 0xFFFF) | 1;
-    # i1 = xxhash64(key,2) & (n-1); i2 = i1 XOR (fp_h[fp] & (n-1))
+    def _new_shard(self) -> np.ndarray:
+        return np.zeros((self.n, self.SLOTS), dtype=np.uint16)
+
+    # derivation: sh = xxhash64(key,9) % n_shards (base class);
+    # fp = (xxhash64(key,1) & 0xFFFF) | 1;
+    # i1 = xxhash64(key,2) & (n-1); i2 = i1 XOR (fp_h[fp] & (n-1)) —
+    # i1/i2 are SHARD-LOCAL bucket indices
     def _derive_cols(self, key: Column):
         fp = (F.xxhash64(key, F.lit(1)).bitwiseAND(F.lit(0xFFFF))).bitwiseOR(F.lit(1))
         i1 = F.xxhash64(key, F.lit(2)).bitwiseAND(F.lit(self.n - 1))
         return fp, i1
 
+    def _i2_col(self, fp: Column, i1: Column) -> Column:
+        # the same derivation _fp_h precomputes, kept JVM-side so
+        # executors never need that map
+        return F.xxhash64(fp.cast("string"), F.lit(3)).bitwiseAND(
+            F.lit(self.n - 1)
+        ).bitwiseXOR(i1)
+
     def _alt(self, fp: int, i: int) -> int:
         return (i ^ int(self._fp_h[fp])) & (self.n - 1)
 
     def _arrays(self, df: DataFrame, col: str):
-        """(fp, i1) per key as numpy arrays — one Arrow transfer, no Row
-        objects. fp/i1 derivation stays JVM-side (same xxhash64 exprs as
-        the probe)."""
+        """(shard, fp, i1) per key as numpy arrays — one Arrow transfer,
+        no Row objects. Derivation stays JVM-side (same xxhash64 exprs
+        as the probe)."""
         fp, i1 = self._derive_cols(F.col(col))
-        pdf = df.select(fp.alias("fp"), i1.alias("i1")).toPandas()
+        pdf = df.select(
+            self._shard_col(F.col(col)).alias("sh"), fp.alias("fp"), i1.alias("i1")
+        ).toPandas()
         return (
+            pdf["sh"].to_numpy(dtype=np.int64),
             pdf["fp"].to_numpy(dtype=np.int64),
             pdf["i1"].to_numpy(dtype=np.int64),
         )
 
     def add_df(self, df: DataFrame, col: str) -> int:
-        """Bulk insert: two vectorized placement rounds (all keys into
-        their i1 buckets, leftovers into i2) followed by the per-key kick
-        loop ONLY for residual collisions — ~0 keys at sane load factors.
-        Returns the count that failed (table full); any failure flips
-        ``saturated`` so anti_join_seen stops trusting the filter."""
-        fps, i1s = self._arrays(df, col)
-        failed = self._bulk_insert(fps, i1s)
+        """Bulk insert: per touched shard, two vectorized placement
+        rounds (all keys into their i1 buckets, leftovers into i2)
+        followed by the per-key kick loop ONLY for residual collisions —
+        ~0 keys at sane load factors. Returns the count that failed
+        (bucket chain full); any failure flips ``saturated`` so
+        anti_join_seen stops trusting the filter."""
+        shs, fps, i1s = self._arrays(df, col)
+        failed = 0
+        for sh in np.unique(shs):
+            sel = shs == sh
+            t = self._get_shard(int(sh), create=True)
+            failed += self._bulk_insert(t, fps[sel], i1s[sel])
+            self._dirty.add(int(sh))
         if failed:
             self.saturated = True
-        self._bc = None
         return failed
 
-    def _bulk_insert(self, fps: np.ndarray, i1s: np.ndarray) -> int:
+    def _bulk_insert(self, t: np.ndarray, fps: np.ndarray, i1s: np.ndarray) -> int:
         if len(fps) == 0:
             return 0
-        t = self.table
         i2s = (i1s ^ self._fp_h[fps]) & (self.n - 1)
         idx = np.arange(len(fps))
         for target in (i1s, i2s):
@@ -376,81 +457,99 @@ class SparkCuckooFilter:
         failed = 0
         for j in idx:  # residual kick path (rare at load ≤ 0.84)
             fp, i1 = int(fps[j]), int(i1s[j])
-            if not self._insert(fp, i1, self._alt(fp, i1)):
+            if not self._insert(t, fp, i1, self._alt(fp, i1)):
                 failed += 1
         return failed
 
     def build_df(self, df: DataFrame, col: str) -> int:
-        """Distributed bulk build into an EMPTY table (resume path —
+        """Distributed bulk build into EMPTY tables (resume path —
         VERDICT r02 #3). The old path pulled (fp:int64, i1:int64) for
         every visited key through the driver (~160 GB at 10^10 URLs);
         this one computes placement in executors and collects only the
-        PACKED table: one (bucket, [≤4 fps]) row per non-empty bucket —
-        the same bytes the driver must hold as coordinator state anyway.
+        PACKED table: one (shard, bucket, [≤4 fps]) row per non-empty
+        bucket — the same bytes the driver must hold as coordinator
+        state anyway (and with max_hot_shards it LRU-spills those as it
+        fills, so peak driver residency stays K × shard bytes).
 
-        Placement mirrors ``_bulk_insert``'s two vectorized rounds:
-          round 1: row_number over bucket i1 → ranks 0..3 take slots;
-          round 2: leftovers target i2 with capacity 4 − round-1 fill;
+        Placement mirrors ``_bulk_insert``'s two vectorized rounds,
+        partitioned by (shard, bucket):
+          round 1: row_number over (sh, i1) → ranks 0..3 take slots;
+          round 2: leftovers target (sh, i2) with capacity 4 − fill;
           residual (rare at load ≤ 0.84): tiny collect → per-key kicks.
         Slot ORDER within a bucket is irrelevant to the probe (any-slot
         fp match), so a ranked assignment is membership-equivalent to
-        the driver-side kicked build. Returns the count that failed
-        (table full) — any failure flips ``saturated``."""
-        if self.table.any():
+        the driver-side kicked build. Returns the count that failed —
+        any failure flips ``saturated``."""
+        if self._any_shard_touched():
             raise ValueError("build_df requires an empty table; use add_df")
         fp, i1 = self._derive_cols(F.col(col))
-        # i2 = i1 XOR (xxhash64(str(fp), 3) & (n-1)) — the same derivation
-        # _fp_h precomputes, kept JVM-side so executors never need that map
-        i2 = F.xxhash64(fp.cast("string"), F.lit(3)).bitwiseAND(
-            F.lit(self.n - 1)
-        ).bitwiseXOR(i1)
-        d = df.select(fp.alias("fp"), i1.alias("i1"), i2.alias("i2"))
+        d = df.select(
+            self._shard_col(F.col(col)).alias("sh"),
+            fp.alias("fp"),
+            i1.alias("i1"),
+            self._i2_col(fp, i1).alias("i2"),
+        )
 
         from pyspark.sql import Window
 
-        w1 = Window.partitionBy("i1").orderBy("fp", "i2")
+        w1 = Window.partitionBy("sh", "i1").orderBy("fp", "i2")
         r1 = d.withColumn("_r", F.row_number().over(w1) - 1)
         placed1 = r1.filter(F.col("_r") < self.SLOTS).select(
-            F.col("i1").alias("b"), "fp"
+            "sh", F.col("i1").alias("b"), "fp"
         )
         left = r1.filter(F.col("_r") >= self.SLOTS).drop("_r")
 
-        occ1 = placed1.groupBy("b").agg(F.count("*").alias("_n1"))
-        w2 = Window.partitionBy("i2").orderBy("fp", "i1")
+        occ1 = placed1.groupBy("sh", "b").agg(F.count("*").alias("_n1")).select(
+            F.col("sh").alias("_osh"), F.col("b").alias("_ob"), "_n1"
+        )
+        w2 = Window.partitionBy("sh", "i2").orderBy("fp", "i1")
         r2 = (
             left.withColumn("_r", F.row_number().over(w2) - 1)
-            .join(occ1, left["i2"] == occ1["b"], "left")
+            .join(
+                occ1,
+                (F.col("sh") == F.col("_osh")) & (F.col("i2") == F.col("_ob")),
+                "left",
+            )
             .withColumn("_cap", F.lit(self.SLOTS) - F.coalesce("_n1", F.lit(0)))
         )
         placed2 = r2.filter(F.col("_r") < F.col("_cap")).select(
-            F.col("i2").alias("b"), "fp"
+            "sh", F.col("i2").alias("b"), "fp"
         )
-        residual = r2.filter(F.col("_r") >= F.col("_cap")).select("fp", "i1")
+        residual = r2.filter(F.col("_r") >= F.col("_cap")).select(
+            "sh", "fp", "i1"
+        )
 
         packed = (
             placed1.unionByName(placed2)
-            .groupBy("b")
+            .groupBy("sh", "b")
             .agg(F.collect_list("fp").alias("fps"))
+            .sort("sh")  # shard-contiguous fill → at most 1 reload/shard
             .toPandas()
         )
-        t = self.table
-        for b, fps in zip(
-            packed["b"].to_numpy(dtype=np.int64), packed["fps"].to_numpy()
+        for sh, b, fps in zip(
+            packed["sh"].to_numpy(dtype=np.int64),
+            packed["b"].to_numpy(dtype=np.int64),
+            packed["fps"].to_numpy(),
         ):
+            t = self._get_shard(int(sh), create=True)
             t[b, : len(fps)] = np.asarray(fps, dtype=np.uint16)
+            self._dirty.add(int(sh))
 
         res = residual.toPandas()  # rare: overflow beyond both buckets
         self._residual_built = len(res)
         failed = 0
-        for fp_v, i1_v in zip(
-            res["fp"].to_numpy(dtype=np.int64), res["i1"].to_numpy(dtype=np.int64)
+        for sh_v, fp_v, i1_v in zip(
+            res["sh"].to_numpy(dtype=np.int64),
+            res["fp"].to_numpy(dtype=np.int64),
+            res["i1"].to_numpy(dtype=np.int64),
         ):
+            t = self._get_shard(int(sh_v), create=True)
             fp_v, i1_v = int(fp_v), int(i1_v)
-            if not self._insert(fp_v, i1_v, self._alt(fp_v, i1_v)):
+            self._dirty.add(int(sh_v))
+            if not self._insert(t, fp_v, i1_v, self._alt(fp_v, i1_v)):
                 failed += 1
         if failed:
             self.saturated = True
-        self._bc = None
         return failed
 
     def delete_df(self, df: DataFrame, col: str) -> int:
@@ -458,58 +557,69 @@ class SparkCuckooFilter:
         one batch must each remove a distinct stored copy, which forces
         sequential slot accounting). Delete volumes are per-wave retry
         sets — small by construction."""
-        fps, i1s = self._arrays(df, col)
+        shs, fps, i1s = self._arrays(df, col)
         removed = 0
-        for fp, i1 in zip(fps.tolist(), i1s.tolist()):
-            if self._delete(fp, i1, self._alt(fp, i1)):
+        for sh, fp, i1 in zip(shs.tolist(), fps.tolist(), i1s.tolist()):
+            t = self._get_shard(sh)
+            if t is None:
+                continue
+            if self._delete(t, fp, i1, self._alt(fp, i1)):
                 removed += 1
-        self._bc = None
+                self._dirty.add(sh)
         return removed
 
-    def _insert(self, fp: int, i1: int, i2: int) -> bool:
+    def _insert(self, t: np.ndarray, fp: int, i1: int, i2: int) -> bool:
         for i in (i1, i2):
-            slot = np.where(self.table[i] == 0)[0]
+            slot = np.where(t[i] == 0)[0]
             if slot.size:
-                self.table[i, slot[0]] = fp
+                t[i, slot[0]] = fp
                 return True
         i = i1 if self._rng.integers(2) else i2
         for _ in range(self.MAX_KICKS):
             s = int(self._rng.integers(self.SLOTS))
-            fp, self.table[i, s] = int(self.table[i, s]), fp
+            fp, t[i, s] = int(t[i, s]), fp
             i = self._alt(fp, i)  # consistent alt of the kicked fp
-            slot = np.where(self.table[i] == 0)[0]
+            slot = np.where(t[i] == 0)[0]
             if slot.size:
-                self.table[i, slot[0]] = fp
+                t[i, slot[0]] = fp
                 return True
         return False
 
-    def _delete(self, fp: int, i1: int, i2: int) -> bool:
+    def _delete(self, t: np.ndarray, fp: int, i1: int, i2: int) -> bool:
         for i in (i1, i2):
-            slot = np.where(self.table[i] == fp)[0]
+            slot = np.where(t[i] == fp)[0]
             if slot.size:
-                self.table[i, slot[0]] = 0
+                t[i, slot[0]] = 0
                 return True
         return False
 
     def maybe_contains(self, key: Column) -> Column:
-        if self._bc is None:
-            self._bc = self.spark.sparkContext.broadcast(
-                (self.table, self._fp_h, self.n)
-            )
-        bc = self._bc
+        """Boolean probe. Shard id, fingerprint and BOTH candidate
+        buckets are computed JVM-side (identical xxhash64 exprs to
+        construction), so the UDF needs only the shard tables — fetched
+        lazily per shard, absent shard ⇒ nothing ever inserted ⇒
+        False."""
+        bcs = self._broadcasts()
         fp, i1 = self._derive_cols(key)
-        packed = F.array(fp, i1)
+        packed = F.array(
+            self._shard_col(key).cast("long"), fp, i1, self._i2_col(fp, i1)
+        )
 
         @F.pandas_udf(T.BooleanType())
         def probe(v: pd.Series) -> pd.Series:
-            t, fp_h, n = bc.value
             mat = np.vstack(v.to_numpy())
-            fps = mat[:, 0]
-            i1s = mat[:, 1]
-            i2s = (i1s ^ fp_h[fps]) & (n - 1)
+            shards, fps, i1s, i2s = mat[:, 0], mat[:, 1], mat[:, 2], mat[:, 3]
+            out = np.zeros(len(mat), dtype=bool)
             f16 = fps.astype(np.uint16)
-            hit1 = (t[i1s] == f16[:, None]).any(axis=1)
-            hit2 = (t[i2s] == f16[:, None]).any(axis=1)
-            return pd.Series(hit1 | hit2)
+            for sh in np.unique(shards):
+                b = bcs.get(int(sh))
+                if b is None:
+                    continue
+                sel = shards == sh
+                t = b.value
+                hit1 = (t[i1s[sel]] == f16[sel][:, None]).any(axis=1)
+                hit2 = (t[i2s[sel]] == f16[sel][:, None]).any(axis=1)
+                out[sel] = hit1 | hit2
+            return pd.Series(out)
 
         return probe(packed)

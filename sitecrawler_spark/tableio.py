@@ -78,6 +78,31 @@ class SnapshotStore:
         with open(os.path.join(self.root, "_snapshots", snaps[-1])) as f:
             return json.load(f)
 
+    def snapshot_ids(self) -> list[int]:
+        """Published snapshot ids, ascending."""
+        return [int(name[:-5]) for name in self._snapshot_files()]
+
+    def manifest(self, snap_id: int) -> dict:
+        """The manifest published as snapshot ``snap_id`` (time-travel
+        lookup — Iceberg's snapshot-id read)."""
+        path = self._manifest_path(snap_id)
+        if not os.path.exists(path):
+            raise ValueError(
+                f"no snapshot {snap_id}; have {self.snapshot_ids()}"
+            )
+        with open(path) as f:
+            return json.load(f)
+
+    def next_snapshot_id(self) -> int:
+        """Monotonic allocation: 1 + the newest PUBLISHED id. Commit ids
+        must never be derived from external counters like the engine's
+        wave number — after a compaction (which publishes at latest+1..)
+        a wave-numbered commit would land BELOW the compaction manifest,
+        invisible to latest() and silently dropped by the next resume
+        (ADVICE r03, high)."""
+        m = self.latest()
+        return (m["snapshot"] + 1) if m else 0
+
     def commit(
         self,
         snap_id: int,
@@ -85,6 +110,7 @@ class SnapshotStore:
         meta: dict | None = None,
         repartition: dict[str, list] | None = None,
         replace: set[str] | None = None,
+        base_snapshot_id: int | None = None,
     ) -> dict:
         """Write data files for this snapshot, then atomically publish
         the manifest. ``repartition[name]`` optionally names columns to
@@ -92,8 +118,16 @@ class SnapshotStore:
         ``replace``: APPEND-mode tables whose part list is RESET to this
         commit's files (Iceberg's overwrite operation on an otherwise
         append table — e.g. the retry path rewrites the visited set
-        after deletions, one wave in ten thousand)."""
-        prev = self.latest()
+        after deletions, one wave in ten thousand).
+        ``base_snapshot_id``: the snapshot this commit's APPEND deltas
+        build on (defaults to latest). A caller that time-traveled to an
+        older snapshot MUST pass it, or its deltas would append onto the
+        newer state it rolled away from (Iceberg rollback semantics)."""
+        prev = (
+            self.manifest(base_snapshot_id)
+            if base_snapshot_id is not None
+            else self.latest()
+        )
         manifest: dict = {
             "snapshot": snap_id,
             "ts": time.time(),
@@ -117,8 +151,14 @@ class SnapshotStore:
         os.replace(tmp, self._manifest_path(snap_id))
         return manifest
 
-    def read(self, spark: SparkSession, name: str) -> DataFrame | None:
-        m = self.latest()
+    def read(
+        self, spark: SparkSession, name: str, snapshot_id: int | None = None
+    ) -> DataFrame | None:
+        """Read a state table — at the latest snapshot, or AS OF a prior
+        ``snapshot_id`` (Iceberg time travel: the part list exactly as
+        that manifest published it; later appends/compactions are
+        invisible, and the parts stay on disk until expire_snapshots)."""
+        m = self.manifest(snapshot_id) if snapshot_id is not None else self.latest()
         if not m or not m["tables"].get(name):
             return None
         return spark.read.parquet(*m["tables"][name])

@@ -223,6 +223,26 @@ def test_compact_state_preserves_rows_and_resume(spark, site, tmp_path):
     ) == rows_before
     eng2.crawl(max_waves=3)  # no error continuing off compacted state
 
+    # post-compaction commits must be VISIBLE: commit ids allocate above
+    # the compaction manifests (not from the wave counter, which would
+    # publish below them and leave latest() pointing at stale compacted
+    # state — ADVICE r03, high). The store must equal the engine's
+    # in-memory state, and a fresh resume must see it.
+    assert {r["s"] for r in eng2.store.read(spark, "visited").collect()} == {
+        r["s"] for r in eng2.visited.collect()
+    }
+    assert sorted(
+        (r["full_url"], r["wave"])
+        for r in eng2.store.read(spark, "pages").collect()
+    ) == sorted(
+        (r["full_url"], r["wave"]) for r in eng2.pages.collect()
+    )
+    eng3 = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, site),
+                            state_dir=state)
+    eng3.resume()
+    assert eng3.visited_counter == eng2.visited_counter
+    assert eng3.wave == eng2.wave
+
 
 def test_visited_delta_commits_and_retry_replace(spark, tmp_path):
     """`visited` commits per-wave DELTAS (append parts), not a full
@@ -264,3 +284,53 @@ def test_visited_delta_commits_and_retry_replace(spark, tmp_path):
     assert {r["s"] for r in eng3.visited_df().collect()} == {
         r["s"] for r in eng2.visited_df().collect()
     }
+
+
+def test_time_travel_reads_and_rollback_resume(spark, site, tmp_path):
+    """Snapshot time travel (VERDICT r03 #7): read(name, snapshot_id=k)
+    returns the state EXACTLY as snapshot k published it even after
+    later waves append; resume(snapshot_id=k) rolls the engine back and
+    continuing from there reproduces the uninterrupted crawl — new
+    commits chain off the resumed snapshot, not off the rolled-away
+    manifests."""
+    state = str(tmp_path / "state")
+    cfg = _cfg()
+    web = sitegen.site_to_df(spark, site)
+    seeds = sitegen.seeds_for(site, 2)
+
+    eng = SparkSiteCrawler(spark, cfg, web, state_dir=state)
+    eng.seed(seeds)
+    eng.run_wave()
+    eng.run_wave()
+    snap_k = eng.store.latest()["snapshot"]
+    seen_at_k = {r["s"] for r in eng.visited.collect()}
+    frontier_at_k = sorted(r["raw_url"] for r in eng.frontier.collect())
+    counter_at_k = eng.visited_counter
+
+    eng.crawl(max_waves=60)  # run to completion past snapshot k
+    final_seen = {r["s"] for r in eng.visited.collect()}
+    final_order = [r["full_url"] for r in eng.visit_order_df().collect()]
+    assert final_seen > seen_at_k  # later waves really appended
+
+    # (1) time-travel read: snapshot k's tables, not the newest state
+    assert {
+        r["s"] for r in eng.store.read(spark, "visited", snapshot_id=snap_k).collect()
+    } == seen_at_k
+    assert sorted(
+        r["raw_url"]
+        for r in eng.store.read(spark, "frontier", snapshot_id=snap_k).collect()
+    ) == frontier_at_k
+
+    # (2) rollback-resume parity: a new engine resumed AT snapshot k and
+    # crawled to completion equals the uninterrupted run
+    redo = SparkSiteCrawler(spark, cfg, web, state_dir=state)
+    redo.resume(snapshot_id=snap_k)
+    assert redo.visited_counter == counter_at_k
+    redo.crawl(seeds, max_waves=60)
+    assert {r["s"] for r in redo.visited.collect()} == final_seen
+    assert [r["full_url"] for r in redo.visit_order_df().collect()] == final_order
+
+    # (3) the rolled-forward store reflects the redo, and resumes clean
+    again = SparkSiteCrawler(spark, cfg, web, state_dir=state)
+    again.resume()
+    assert {r["s"] for r in again.visited.collect()} == final_seen
