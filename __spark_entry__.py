@@ -74,7 +74,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suffix_gate": _queries.q_suffix_gate,
         "q_error_dispatch": _queries.q_error_dispatch,
         "q_lineitem_pricing": _queries.q_lineitem_pricing,
-        "q_events_hourly": _queries.q_events_hourly,
         "q_events_rollup": _queries.q_events_rollup,
         "q_events_quantiles": _queries.q_events_quantiles,
         "q_orders_top_customers": _queries.q_orders_top_customers,
@@ -86,8 +85,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": _queries.q_simhash_pairs,
         "q_training_pipeline": _queries.q_training_pipeline,
         "q_pagerank": _queries.q_pagerank,
-        "q_doc_chunks": _queries.q_doc_chunks,
-        "q_word_freq": _queries.q_word_freq,
+        "q_hits": _queries.q_hits,
+        "q_inverted_index": _queries.q_inverted_index,
+        "q_lm_score": _queries.q_lm_score,
         "q_media_meta": _queries.q_media_meta,
         "q_ann_kmeans": _queries.q_ann_kmeans,
         "q_tfidf_topterms": _queries.q_tfidf_topterms,
@@ -122,6 +122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _queries.q_simhash,               # ⊂ q_simhash_pairs
         "q_ann_bruteforce": _queries.q_ann_bruteforce,  # ⊂ q_ann_lsh_multi recall base
         "q_ann_lsh": _queries.q_ann_lsh,               # ⊂ q_ann_lsh_multi
+        "q_events_hourly": _queries.q_events_hourly,   # ⊂ q_events_rollup
+        "q_word_freq": _queries.q_word_freq,           # ⊂ q_tfidf_topterms
+        "q_doc_chunks": _queries.q_doc_chunks,         # ⊂ q_sequence_packing
     }
 
 
@@ -132,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_ann_lsh_multi"] = _oracles.ann_lsh_multi_oracle()
     out["q_embed_neardup"] = _oracles.embed_neardup_oracle()
     out["q_pagerank"] = _oracles.pagerank_oracle()
+    out["q_hits"] = _oracles.hits_oracle()
     out["q_ann_kmeans"] = _oracles.ann_kmeans_oracle()
     out["q_ann_pq"] = _oracles.ann_pq_oracle()
     return out

@@ -205,17 +205,29 @@ def main() -> None:
     md5_rate = cpu_probe()
     prev = _prev_round_times()
     reruns: dict[str, list[float]] = {}
+    loadavg_per_query: dict[str, float] = {}
 
-    def timed(name, fn) -> float:
-        t0 = time.time()
-        fn()
-        dt = round(time.time() - t0, 3)
+    def timed(name, fn, best_of: int = 1) -> float:
+        """best_of=2 runs the query twice UNCONDITIONALLY and reports
+        the min (VERDICT r03 #5: the contested dedup_ops numbers were
+        load-contaminated in r2 AND r3 and needed judge re-measurement;
+        one-shot timing on a shared box is not evidence). Per-query
+        1-min loadavg is recorded alongside either way. Regression
+        retry (>1.5x the prior round) still applies on top."""
+        loadavg_per_query[name] = round(os.getloadavg()[0], 2)
+        runs = []
+        for _ in range(best_of):
+            t0 = time.time()
+            fn()
+            runs.append(round(time.time() - t0, 3))
+        dt = min(runs)
         if name in prev and prev[name] > 0 and dt > 1.5 * prev[name]:
             t0 = time.time()
             fn()
-            dt2 = round(time.time() - t0, 3)
-            reruns[name] = [dt, dt2]
-            dt = min(dt, dt2)
+            runs.append(round(time.time() - t0, 3))
+            dt = min(runs)
+        if len(runs) > 1:
+            reruns[name] = runs
         return dt
 
     qtimes: dict[str, float] = {}
@@ -255,7 +267,7 @@ def main() -> None:
                  "q_training_pipeline", "q_pagerank", "q_doc_chunks",
                  "q_word_freq"):
         extra[name] = timed(
-            name, lambda n=name: qs[n](spark, sf_dir).count()
+            name, lambda n=name: qs[n](spark, sf_dir).count(), best_of=2
         )
     pr_sec, pr_rate = bench_parse(spark)
 
@@ -266,8 +278,10 @@ def main() -> None:
                  "q_decontamination", "q_stratified_sample",
                  "q_mix_weights", "q_incremental_dedup", "q_ann_filtered",
                  "q_quality_filter", "q_events_session_windows",
-                 "q_ann_pq", "q_events_asof", "q_events_range_join",
-                 "q_cms_word_counts", "q_hll_distinct_users"):
+                 "q_ann_pq", "q_events_asof", "q_events_asof_tolerance",
+                 "q_events_range_join",
+                 "q_cms_word_counts", "q_hll_distinct_users",
+                 "q_hits", "q_inverted_index", "q_lm_score"):
         pipeline[name] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )
@@ -297,6 +311,7 @@ def main() -> None:
                     "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                     "md5_4k_per_sec": md5_rate,
                 },
+                "loadavg_per_query": loadavg_per_query,
                 "reruns": reruns,
             }
         )

@@ -112,3 +112,74 @@ def host_pagerank(links: DataFrame, n_iters: int = 5) -> DataFrame:
     )
     pr = pagerank(nodes, e, n_iters=n_iters)
     return pr.select(F.col("id").alias("host"), "rank")
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iters: int = 5,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg, "Authoritative sources in a
+    hyperlinked environment", JACM 1999) — the hub/authority complement
+    to PageRank for crawl link analysis: authority(v) = Σ_{u→v} hub(u),
+    hub(u) = Σ_{u→v} authority(v), each pass normalized by its MAX
+    (max-normalization keeps the divisor one of the summed values —
+    friendlier cross-engine than an L2 sqrt) and rounded to 9dp so the
+    unrolled-SQL oracle reproduces the fixpoint bit-for-bit.
+
+    Distributed shape per half-iteration: one join of scores onto edge
+    endpoints (shuffle on the edge key) + one groupBy.sum with map-side
+    combine — the pagerank cost profile, twice per iteration.
+    ``localCheckpoint`` per iteration cuts lineage. Returns
+    (id, hub, authority) rounded 6dp."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    ids = nodes.select(F.col(id_col).alias("id"))
+    scores = ids.select(
+        "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iters):
+        a_raw = (
+            e.join(scores, e.src == scores.id)
+            .groupBy("dst").agg(F.sum("hub").alias("s"))
+        )
+        amax = a_raw.agg(F.max("s").alias("m"))
+        auth = (
+            ids.join(a_raw, ids.id == a_raw.dst, "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "id",
+                F.round(
+                    F.coalesce(F.col("s"), F.lit(0.0)) / F.col("m"), 9
+                ).alias("auth"),
+            )
+        )
+        h_raw = (
+            e.join(auth, e.dst == auth.id)
+            .groupBy("src").agg(F.sum("auth").alias("s"))
+        )
+        hmax = h_raw.agg(F.max("s").alias("m"))
+        hub = (
+            ids.join(h_raw, ids.id == h_raw.src, "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "id",
+                F.round(
+                    F.coalesce(F.col("s"), F.lit(0.0)) / F.col("m"), 9
+                ).alias("hub"),
+            )
+        )
+        scores = (
+            hub.join(auth.withColumnRenamed("id", "_aid"),
+                     hub.id == F.col("_aid"))
+            .select("id", "hub", "auth")
+            .localCheckpoint(eager=True)
+        )
+    return scores.select(
+        "id", F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("authority"),
+    )

