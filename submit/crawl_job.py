@@ -59,6 +59,16 @@ def main() -> None:
     ap.add_argument("--short-circuit-after", type=int, default=0)
     ap.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default=None)
     ap.add_argument("--expected-urls", type=int, default=1_000_000)
+    ap.add_argument("--bloom-shards", type=int, default=None,
+                    help="bloom shard count (None = auto ~8MiB/shard)")
+    ap.add_argument("--bloom-hot-shards", type=int, default=None,
+                    help="driver-resident bloom shard cap (LRU + .npy "
+                         "spill under the state dir)")
+    ap.add_argument("--cuckoo-shards", type=int, default=1,
+                    help="cuckoo sub-filter count (key-hash routed)")
+    ap.add_argument("--cuckoo-hot-shards", type=int, default=None,
+                    help="driver-resident cuckoo shard cap (LRU + .npy "
+                         "spill under the state dir)")
     ap.add_argument("--max-waves", type=int, default=10_000)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--synthetic", type=int, default=0,
@@ -121,6 +131,10 @@ def main() -> None:
         short_circuit_after=args.short_circuit_after,
         seen_filter=args.seen_filter,
         seen_filter_expected_n=args.expected_urls,
+        bloom_n_shards=args.bloom_shards,
+        bloom_max_hot_shards=args.bloom_hot_shards,
+        cuckoo_n_shards=args.cuckoo_shards,
+        cuckoo_max_hot_shards=args.cuckoo_hot_shards,
         host_salts=args.politeness_salts,
         fetch_salts=args.fetch_salts,
         order_partitions=args.order_partitions,

@@ -98,6 +98,7 @@ def test_submit_cli_surface(tmp_path):
             "--short-circuit-after", "8", "--politeness-budget", "4",
             "--politeness-salts", "2", "--seen-filter", "bloom",
             "--expected-urls", "100000", "--order-partitions", "2",
+            "--bloom-shards", "4", "--bloom-hot-shards", "2",
             "--cookie", "sid=abc", "--http-cache-size", "64"]
     with mock.patch.object(sys, "argv", argv), mock.patch(
         "pyspark.sql.SparkSession.stop", lambda self: None
