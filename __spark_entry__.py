@@ -79,7 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_top_customers": _queries.q_orders_top_customers,
         "q_quality_score": _queries.q_quality_score,
         "q_lang_id": _queries.q_lang_id,
-        "q_fingerprint": _queries.q_fingerprint,
+        "q_winnow_pairs": _queries.q_winnow_pairs,
         "q_exact_dedup": _queries.q_exact_dedup,
         "q_minhash_pairs": _queries.q_minhash_pairs,
         "q_simhash_pairs": _queries.q_simhash_pairs,
@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_hourly": _queries.q_events_hourly,   # ⊂ q_events_rollup
         "q_word_freq": _queries.q_word_freq,           # ⊂ q_tfidf_topterms
         "q_doc_chunks": _queries.q_doc_chunks,         # ⊂ q_sequence_packing
+        "q_fingerprint": _queries.q_fingerprint,       # ⊂ q_winnow_pairs
     }
 
 

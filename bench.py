@@ -281,7 +281,8 @@ def main() -> None:
                  "q_ann_pq", "q_events_asof", "q_events_asof_tolerance",
                  "q_events_range_join",
                  "q_cms_word_counts", "q_hll_distinct_users",
-                 "q_hits", "q_inverted_index", "q_lm_score"):
+                 "q_hits", "q_inverted_index", "q_lm_score",
+                 "q_winnow_pairs"):
         pipeline[name] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )

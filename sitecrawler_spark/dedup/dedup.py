@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sitecrawler_spark.kernel.urls_spark import portable_hash64
 from sitecrawler_spark.textops.functions import normalize_text
 
 
@@ -337,4 +338,88 @@ def simhash_bands(sim: Column, n_bands: int = 4, n_bits: int = 60) -> Column:
             )
             for b in range(n_bands)
         ]
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: local algorithms for document fingerprinting", SIGMOD
+    2003): hash every word k-gram, slide a w-hash window per document,
+    keep each window's MINIMUM hash (simplified min rule — every
+    window minimum, deduplicated — rather than the rightmost-tie
+    refinement; documented and mirrored exactly in the SQL oracle).
+    Winnowing guarantees any shared substring of ≥ k+w-1 words yields
+    at least one shared fingerprint — the SUBSTRING-overlap dedup
+    modality (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022 motivate it) that word-set minhash cannot
+    see. Hashes use the portable md5-based hash so the oracle
+    reproduces bit-for-bit.
+
+    Distributed shape: one tokenize, per-doc lead/window passes over
+    ONE (id, pos) sort — no self-join, no explosion; output is the
+    distinct (id, fp) set, ≈ n_grams/w rows per doc. Returns
+    (id, fp)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    wl = Window.partitionBy("id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("word"), *[F.lead("word", i).over(wl) for i in range(1, k)]
+    )
+    grams = (
+        toks.withColumn("_g", gram)
+        .withColumn("_last", F.lead("word", k - 1).over(wl))
+        .filter(F.col("_last").isNotNull())  # complete k-grams only
+        .select("id", "pos", portable_hash64(F.col("_g")).alias("h"))
+    )
+    wmin = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    fps = (
+        grams.withColumn("_full", F.lead("h", w - 1).over(wl))
+        .withColumn("fp", F.min("h").over(wmin))
+        .filter(F.col("_full").isNotNull())  # complete w-windows only
+        .select("id", "fp")
+        .distinct()
+    )
+    return fps
+
+
+def winnow_pairs(
+    fps: DataFrame,
+    min_shared: int = 3,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """(id_a, id_b, shared) document pairs sharing ≥ ``min_shared``
+    winnowed fingerprints (id_a < id_b). The fingerprint inverted index
+    self-joins per fp bucket — ``max_bucket_size`` is the boilerplate
+    skew guard (an fp present in >10k docs is boilerplate owned by the
+    exact-dup path, same rationale as the LSH band cap); shared-count
+    aggregation gets map-side combine."""
+    f = fps.repartition("fp")
+    if max_bucket_size > 0:
+        sizes = f.groupBy("fp").agg(F.count("*").alias("_bn"))
+        f = f.join(sizes, "fp").filter(
+            F.col("_bn") <= max_bucket_size
+        ).drop("_bn")
+    a = f.alias("a")
+    b = f.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
     )

@@ -736,6 +736,51 @@ r AS (
 SELECT doc_id, rank, word, tfidf FROM r WHERE rank <= 3
 """
 
+ORACLES["q_winnow_pairs"] = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word,
+         generate_subscripts(
+           string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+  FROM documents
+),
+tok AS MATERIALIZED (SELECT doc_id, word, pos FROM t WHERE word <> ''),
+g AS (
+  SELECT doc_id, pos,
+         concat_ws(' ', word,
+                   lead(word, 1) OVER wl,
+                   lead(word, 2) OVER wl,
+                   lead(word, 3) OVER wl) AS gram,
+         lead(word, 3) OVER wl AS last_w
+  FROM tok WINDOW wl AS (PARTITION BY doc_id ORDER BY pos)
+),
+gh AS MATERIALIZED (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+  FROM g WHERE last_w IS NOT NULL
+),
+wm AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS h_full
+  FROM gh
+),
+fps AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fp FROM wm WHERE h_full IS NOT NULL
+),
+ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 10000),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+  FROM fps a
+  JOIN ok ON ok.fp = a.fp
+  JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared FROM p WHERE shared >= 3
+"""
+
+
 ORACLES["q_inverted_index"] = """
 WITH t AS (
   SELECT doc_id,

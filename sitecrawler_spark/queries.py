@@ -1166,6 +1166,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap dedup via winnowed fingerprints (Schleimer
+    2003; the modality word-set minhash cannot see — any shared run of
+    ≥ k+w-1 = 7 words is guaranteed a shared fingerprint): word
+    4-gram hashes → per-doc 4-hash window minima → pairs sharing ≥ 3
+    fingerprints. Subsumes q_fingerprint's rolling-hash surface."""
+    from sitecrawler_spark.dedup.dedup import winnow_fingerprints, winnow_pairs
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=4, w=4)
+    return winnow_pairs(fps, min_shared=3)
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS hub/authority scores over the same derived
     link graph as q_pagerank (operators/graph.hits) — the second

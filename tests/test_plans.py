@@ -167,7 +167,8 @@ def test_new_pipeline_queries_jvm_native(spark):
                  "q_decontamination", "q_stratified_sample",
                  "q_mix_weights", "q_incremental_dedup", "q_ann_filtered",
                  "q_quality_filter", "q_events_session_windows",
-                 "q_hits", "q_inverted_index", "q_lm_score"]:
+                 "q_hits", "q_inverted_index", "q_lm_score",
+                 "q_winnow_pairs"]:
         df = getattr(Q, name)(spark, "/root/testdata/sf0.001")
         plan = _plan(df)
         assert "BatchEvalPython" not in plan, name

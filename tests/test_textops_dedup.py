@@ -525,3 +525,25 @@ def test_pq_trained_codebooks_improve_recall(spark):
     cb = pq_train_codebooks(emb, n_iters=4)
     trained = recall(pq_topk(emb, probes, k=5, codebooks=cb))
     assert trained >= sampled, (trained, sampled)
+
+
+def test_winnowing_guarantee_and_specificity(spark):
+    """Schleimer's winnowing bound: any shared word run of length >=
+    k+w-1 (= 7 here) yields at least one shared fingerprint — and
+    documents over disjoint vocabularies share none."""
+    from sitecrawler_spark.dedup.dedup import winnow_fingerprints, winnow_pairs
+
+    run = "alpha bravo charlie delta echo foxtrot golf"  # 7 shared words
+    docs = [
+        (1, f"one two three {run} four five six seven eight nine"),
+        (2, f"aa bb cc dd {run} ee ff gg hh ii jj kk"),
+        (3, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, "text", "doc_id", k=4, w=4)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared"]
+        for r in winnow_pairs(fps, min_shared=1, max_bucket_size=0).collect()
+    }
+    assert (1, 2) in pairs  # the 7-word run MUST collide
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # disjoint vocab
