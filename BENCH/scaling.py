@@ -42,12 +42,13 @@ from bench import synthetic_frontier
 cores = %(cores)d
 n = %(n)d
 runs = %(runs)d
+shuffle_parts = %(shuffle)d
 # IDENTICAL plan at both levels: same shuffle-partition count, only
 # executor-thread parallelism differs. RAM-backed shuffle dir so the
 # single local disk doesn't cap the 32-thread level (a real cluster
 # scales disks with executors).
 spark = get_spark(cores=cores, app_name=f"scaling-{cores}",
-                  shuffle_partitions=64,
+                  shuffle_partitions=shuffle_parts,
                   extra_conf={"spark.local.dir":
                               f"/dev/shm/spark-scaling-{cores}"})
 
@@ -113,8 +114,9 @@ def _hash_task(k: int) -> int:
     return h
 
 
-def run_level(cores: int, n: int, runs: int) -> dict:
-    code = CHILD % {"repo": REPO, "cores": cores, "n": n, "runs": runs}
+def run_level(cores: int, n: int, runs: int, shuffle: int = 64) -> dict:
+    code = CHILD % {"repo": REPO, "cores": cores, "n": n, "runs": runs,
+                    "shuffle": shuffle}
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200
     )
@@ -126,9 +128,10 @@ def main() -> None:
     n = int(os.environ.get("BENCH_FRONTIER_N", "8000000"))
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     t0 = time.time()
+    shuffle = int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", "64"))
     hw = hw_calibration(8, 32)
-    r8 = run_level(8, n, runs)
-    r32 = run_level(32, n, runs)
+    r8 = run_level(8, n, runs, shuffle)
+    r32 = run_level(32, n, runs, shuffle)
     eff = (r32["urls_per_sec"] / r8["urls_per_sec"]) / 4.0
     normalized = round(eff / hw["efficiency"], 3) if hw["efficiency"] else None
     result = {
