@@ -221,3 +221,54 @@ def test_pq_encode_uses_hash_aggregate_not_windows(spark):
     lines = [ln for ln in plan.splitlines()
              if "HashAggregate" in ln and "Object" not in ln]
     assert len(lines) >= 4, plan[:2000]  # partial + final encode agg
+
+
+def test_bucketed_join_elides_both_exchanges(spark, tmp_path):
+    """Co-bucketed tables (operators/bucketing.py): the visited/links
+    co-location strategy — one write-time shuffle, then every equi-join
+    on the bucket key runs with ZERO Exchange under the join (the scan
+    itself reports the hash partitioning). A bucket-count mismatch or
+    an unbucketed side would re-introduce the shuffle and fail here."""
+    from sitecrawler_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    import shutil
+
+    for t in ("bt_visited", "bt_links"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a previously crashed run can leave an orphan managed-table dir
+        # the metastore no longer knows about — saveAsTable refuses it
+        loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(
+            loc.removeprefix("file:") + "/" + t, ignore_errors=True
+        )
+    visited = spark.range(5000).selectExpr(
+        "concat('https://h/', id % 997) AS url", "id AS first_wave"
+    )
+    links = spark.range(20000).selectExpr(
+        "concat('https://h/', id % 997) AS url", "id AS link_id"
+    )
+    write_bucketed(visited, "bt_visited", "url", 8, sort_col="url")
+    write_bucketed(links, "bt_links", "url", 8, sort_col="url")
+    # bucketing targets joins where BOTH sides are too big to broadcast
+    # — disable the small-table broadcast path so the plan shows the
+    # co-located shape these test tables stand in for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bt_visited", "bt_links", "url")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:1500]
+        assert "Exchange" not in plan, plan[:2000]  # co-location elides both
+        # and the result is the real join: sum over the 997 keys of
+        # (visited multiplicity × links multiplicity)
+        expect = sum(
+            (6 if k < 15 else 5) * (21 if k < 60 else 20) for k in range(997)
+        )
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_visited")
+        spark.sql("DROP TABLE IF EXISTS bt_links")
