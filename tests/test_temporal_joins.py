@@ -111,3 +111,16 @@ def test_asof_nearest_distance_tie_prefers_backward(spark):
     right = pd.DataFrame({"k": [1, 1], "rts": [90, 110], "rid": [5, 6]})
     got = _spark_asof(spark, left, right, "nearest")
     assert got[(1, 0)] == 5  # equidistant → prior row, merge_asof's rule
+
+
+def test_asof_fuzz_more_seeds(spark):
+    """Randomized parity sweep vs merge_asof: more seeds × directions ×
+    tolerance — the surface is tie-free by construction (tie rule pinned
+    separately), so outputs must be EXACTLY equal."""
+    for seed in (23, 41):
+        left, right = _data(seed=seed)
+        for direction in ("backward", "forward", "nearest"):
+            for tol in (None, 400):
+                got = _spark_asof(spark, left, right, direction, tol)
+                want = _pandas_asof(left, right, direction, tol)
+                assert got == want, (seed, direction, tol)

@@ -547,3 +547,21 @@ def test_winnowing_guarantee_and_specificity(spark):
     }
     assert (1, 2) in pairs  # the 7-word run MUST collide
     assert (1, 3) not in pairs and (2, 3) not in pairs  # disjoint vocab
+
+
+def test_hits_deterministic_across_partitioning(spark):
+    """q_hits sums 9dp-rounded doubles per bucket — pin that the
+    fixpoint is identical under different shuffle-partition layouts
+    (the driver's hash compare would flag any order-dependent drift)."""
+    sf = "/root/testdata/sf0.001"
+    from sitecrawler_spark.queries import q_hits
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = sorted(map(tuple, q_hits(spark, sf).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = sorted(map(tuple, q_hits(spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
