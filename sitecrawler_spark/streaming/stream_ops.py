@@ -113,6 +113,59 @@ def streaming_dedup(
     )
 
 
+def stream_interval_join(
+    spark: SparkSession,
+    source_dir: str,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER interval join with watermarks: every click
+    joined to the same user's view events in the preceding ``max_lag``
+    (vts ∈ [cts − max_lag, cts]) — the attribution-join shape. Both
+    sides carry a watermark and the join condition time-bounds each
+    side against the other, so Spark can evict join state once the
+    watermark passes: state is bounded by one (watermark + max_lag)
+    interval of events, not the whole stream — the property that makes
+    a stream-stream join viable on an unbounded feed. Batch-equivalent
+    semantics pinned by test (same join over the drained input)."""
+    clicks = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(source_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("cts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("cts", watermark)
+    )
+    views = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(source_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("vts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("vts", watermark)
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"c_user = v_user AND vts <= cts "
+            f"AND vts >= cts - INTERVAL {max_lag}"
+        ),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "view_id",
+        F.date_format("cts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("vts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> None:
     """Drain all available input into an in-memory table (tests/dev)."""
     q = (
