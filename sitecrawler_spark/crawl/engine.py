@@ -53,6 +53,11 @@ FRONTIER_SCHEMA = T.StructType(
 
 
 class SparkSiteCrawler:
+    # fold the in-memory visited parts into one checkpointed frame once
+    # the union exceeds this many children (plan-width bound — see
+    # run_wave); store-side parts compact separately (compact_state)
+    _VISITED_FOLD_PARTS = 32
+
     def __init__(
         self,
         spark: SparkSession,
@@ -617,6 +622,19 @@ class SparkSiteCrawler:
         ).localCheckpoint(eager=True)
         if ins_part is not None:
             self._visited_parts.append(ins_part)
+            # bound the visited UNION plan width: at one part per wave a
+            # 10^4-wave crawl builds a 10^4-child union whose ANALYSIS
+            # cost alone grows linearly per wave (quadratic over the
+            # crawl) — fold into one checkpointed part every
+            # _VISITED_FOLD_PARTS waves (amortized O(|visited|/K) extra
+            # materialization per wave; store-side parts are unaffected
+            # and compact separately via compact_state)
+            if len(self._visited_parts) > self._VISITED_FOLD_PARTS:
+                self._visited_parts = [
+                    self._union_parts(self._visited_parts).localCheckpoint(
+                        eager=True
+                    )
+                ]
         # what the snapshot commit writes for `visited`: the wave's
         # delta normally; None = the retry path folded/deleted rows, so
         # this wave must REPLACE the table (Iceberg overwrite op)

@@ -230,3 +230,34 @@ def test_ranged_ordering_path_parity(spark, site):
     got_order = [r["full_url"] for r in eng.visit_order_df().collect()]
     got_visited = {r["s"] for r in eng.visited_df().collect()}
     assert_parity(expected, got_order, got_visited)
+
+
+def test_visited_parts_fold_bounds_plan_width(spark):
+    """The in-memory visited union folds into one checkpointed part
+    every _VISITED_FOLD_PARTS waves — a 10^4-wave crawl must not build
+    a 10^4-child union plan (analysis cost alone would grow per wave).
+    Crawl correctness (seen set vs the reference model) is unchanged."""
+    from sitecrawler_spark.crawl import sitegen
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+    from sitecrawler_spark.crawl.model import ReferenceCrawlModel
+    from sitecrawler_spark.config import CrawlerConfig
+
+    site = sitegen.generate_site(n_pages=30, seed=13)
+    # politeness budget 1 on a broad site forces MANY small waves
+    cfg = CrawlerConfig(
+        base_url="http://www.salesforce.com",
+        base_url_secure="https://www.salesforce.com",
+        disable_redirects=True, politeness_budget=1,
+    )
+    model = ReferenceCrawlModel(cfg, site)
+    expected = model.crawl(sitegen.seeds_for(site, 2))
+
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, site))
+    eng._VISITED_FOLD_PARTS = 4  # exercise several folds in a short crawl
+    eng.crawl(sitegen.seeds_for(site, 2), max_waves=80)
+    assert eng.wave > 8, "site produced too few waves to exercise folding"
+    assert len(eng._visited_parts) <= 5  # folded, never one part per wave
+    assert {r["s"] for r in eng.visited_df().collect()} == expected.visited
+    assert [r["full_url"] for r in eng.visit_order_df().collect()] == (
+        expected.visit_order
+    )
