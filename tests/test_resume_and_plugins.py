@@ -334,3 +334,26 @@ def test_time_travel_reads_and_rollback_resume(spark, site, tmp_path):
     again = SparkSiteCrawler(spark, cfg, web, state_dir=state)
     again.resume()
     assert {r["s"] for r in again.visited.collect()} == final_seen
+
+
+def test_time_travel_to_expired_snapshot_raises(spark, site, tmp_path):
+    """Expired snapshots are gone for good: read/resume at an expired id
+    fails loudly (listing the surviving ids), never silently serves the
+    newest state instead."""
+    import pytest
+
+    web = sitegen.site_to_df(spark, site)
+    eng = SparkSiteCrawler(spark, _cfg(), web,
+                           state_dir=str(tmp_path / "st"))
+    eng.seed(sitegen.seeds_for(site, 2))
+    for _ in range(3):
+        eng.run_wave()
+    ids = eng.store.snapshot_ids()
+    assert len(ids) == 3
+    eng.store.expire_snapshots(keep=1)
+    assert eng.store.snapshot_ids() == ids[-1:]
+    with pytest.raises(ValueError, match="no snapshot"):
+        eng.store.read(spark, "visited", snapshot_id=ids[0])
+    with pytest.raises(ValueError, match="no snapshot"):
+        eng.resume(snapshot_id=ids[0])
+    eng.resume(snapshot_id=ids[-1])  # surviving snapshot still resumable
