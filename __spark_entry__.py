@@ -126,6 +126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_word_freq": _queries.q_word_freq,           # ⊂ q_tfidf_topterms
         "q_doc_chunks": _queries.q_doc_chunks,         # ⊂ q_sequence_packing
         "q_fingerprint": _queries.q_fingerprint,       # ⊂ q_winnow_pairs
+        "q_opic": _queries.q_opic,
+        "q_url_trap_score": _queries.q_url_trap_score,
+        "q_recrawl_schedule": _queries.q_recrawl_schedule,
     }
 
 
@@ -139,4 +142,6 @@ def oracle_sql() -> dict[str, str]:
     out["q_hits"] = _oracles.hits_oracle()
     out["q_ann_kmeans"] = _oracles.ann_kmeans_oracle()
     out["q_ann_pq"] = _oracles.ann_pq_oracle()
+    out["q_opic"] = _oracles.opic_oracle()
+    out["q_url_trap_score"] = _oracles.url_trap_score_oracle()
     return out

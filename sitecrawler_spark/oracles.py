@@ -1543,3 +1543,127 @@ SELECT CASE WHEN i % 5 = 0 THEN 'anchor'
        max(i) AS max_offset
 FROM t GROUP BY 1
 """
+
+
+def opic_oracle(n_iters: int = 5) -> str:
+    """Generated oracle for q_opic: the synchronous OPIC cash/history
+    recurrence (bank → distribute → dangling redistribution) unrolled
+    as one CTE per iteration, 9dp per-iteration round matching the
+    operator's contract (operators/graph.opic)."""
+    from sitecrawler_spark.queries import PAGERANK_EDGES_SQL
+
+    ctes = [
+        "nodes AS (SELECT doc_id AS id FROM documents)",
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        f"edges AS ({PAGERANK_EDGES_SQL})",
+        "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
+        """s0 AS MATERIALIZED (
+  SELECT nodes.id,
+         round(1.0 / (SELECT n FROM nn), 9) AS cash,
+         0.0 AS hist,
+         COALESCE(deg.out_deg, 0) AS out_deg
+  FROM nodes LEFT JOIN deg ON deg.src = nodes.id
+)""",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        ctes.append(f"""s{i} AS MATERIALIZED (
+  SELECT sp.id,
+         round(COALESCE(c.s, 0)
+               + (SELECT COALESCE(sum(cash), 0) FROM s{p} WHERE out_deg = 0)
+                 / (SELECT n FROM nn), 9) AS cash,
+         round(sp.hist + sp.cash, 9) AS hist,
+         sp.out_deg
+  FROM s{p} sp LEFT JOIN (
+    SELECT e.dst AS id, sum(s{p}.cash / s{p}.out_deg) AS s
+    FROM edges e JOIN s{p} ON s{p}.id = e.src
+    GROUP BY e.dst) c USING (id)
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id AS doc_id,
+       round((hist + cash) / {n_iters + 1}.0, 6) AS importance
+FROM s{n_iters}"""
+    )
+
+
+_TRAP_URLS_SQL_ORACLE = None
+
+
+def _trap_urls_sql() -> str:
+    from sitecrawler_spark.queries import TRAP_URLS_SQL
+
+    return TRAP_URLS_SQL
+
+
+def url_trap_score_oracle() -> str:
+    """Independent DuckDB expression of the trap signals via list
+    lambdas (list_filter/list_transform) over the shared deterministic
+    deep-path corpus."""
+    return f"""
+WITH urls AS ({_trap_urls_sql()}),
+feats AS (
+  SELECT doc_id, url,
+    list_filter(
+      string_split(regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1), '/'),
+      x -> x <> '') AS segs,
+    regexp_extract(url, '\\?(.*)$', 1) AS q
+  FROM urls
+),
+m AS (
+  SELECT doc_id, url,
+    len(segs) AS depth,
+    COALESCE(list_max(list_transform(
+      list_distinct(segs),
+      s -> len(list_filter(segs, x -> x = s)))), 0) AS max_seg_repeat,
+    CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END AS n_params,
+    CASE WHEN q LIKE '%sess=%' THEN 1 ELSE 0 END AS has_session_param
+  FROM feats
+)
+SELECT doc_id, url,
+  CAST(depth AS BIGINT) AS depth,
+  CAST(max_seg_repeat AS BIGINT) AS max_seg_repeat,
+  CAST(n_params AS BIGINT) AS n_params,
+  CAST(has_session_param AS BIGINT) AS has_session_param,
+  0.5 * (max_seg_repeat - 1)
+    + 0.25 * greatest(depth - 3, 0)
+    + 0.25 * has_session_param AS trap_score,
+  (0.5 * (max_seg_repeat - 1)
+    + 0.25 * greatest(depth - 3, 0)
+    + 0.25 * has_session_param) >= 1.0 AS is_trap
+FROM m
+"""
+
+
+ORACLES["q_recrawl_schedule"] = """
+WITH hist AS (
+  SELECT user_id AS page_id, ts,
+         floor(epoch(ts) / (3600 * (1 + user_id % 5))) AS content_ver
+  FROM events
+),
+obs AS (
+  SELECT page_id,
+         CAST(content_ver <> lag(content_ver)
+              OVER (PARTITION BY page_id ORDER BY ts) AS INTEGER) AS changed
+  FROM hist
+),
+agg AS (
+  SELECT page_id,
+         count(*) AS n_fetches,
+         CAST(COALESCE(sum(changed), 0) AS BIGINT) AS n_changes
+  FROM obs GROUP BY page_id
+),
+lam AS (
+  SELECT page_id, n_fetches, n_changes,
+         -ln((n_fetches - 1 - n_changes + 0.5) / (n_fetches - 1 + 0.5))
+           AS lambda_raw
+  FROM agg WHERE n_fetches >= 3
+)
+SELECT page_id, n_fetches, n_changes,
+       round(lambda_raw, 6) AS lambda_hat,
+       round(CASE WHEN lambda_raw > 0
+                  THEN least(1.0 / lambda_raw, 1000.0)
+                  ELSE 1000.0 END, 6) AS recrawl_intervals
+FROM lam
+"""

@@ -1362,3 +1362,145 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "component_id", "cluster_size",
         "is_canonical",
     )
+
+
+# --------------------------------------------------------------------------
+# crawl-science queries: importance-ordered scheduling, trap detection,
+# change-rate-driven re-crawl
+# --------------------------------------------------------------------------
+
+# deterministic deep-path URL corpus for trap detection — VALID IN BOTH
+# Spark SQL and DuckDB (concat/repeat/CASE/% only). Path-segment
+# repetition and a session-id param are the two classic trap signals
+# (mirrors the reference's excluded-suffix + blocked-substring hygiene,
+# SiteCrawler.java:1152-1217, generalized to score instead of block).
+TRAP_URLS_SQL = """
+SELECT doc_id,
+  concat(
+    'https://www.salesforce.com',
+    repeat(concat('/', source), 1 + doc_id % 5),
+    '/doc', doc_id,
+    CASE doc_id % 5 WHEN 0 THEN '.html' WHEN 1 THEN '/' ELSE '.htm' END,
+    CASE WHEN doc_id % 4 = 0 THEN concat('?sess=', doc_id % 97)
+         WHEN doc_id % 7 = 0 THEN '?a=1&b=2' ELSE '' END
+  ) AS url
+FROM documents
+"""
+
+
+def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous OPIC importance (Abiteboul et al., WWW 2003) over the
+    same derived link graph as q_pagerank — the crawl-ordering signal
+    production crawlers use to pick what to fetch next. Oracle is the
+    cash/history recurrence unrolled as SQL CTEs."""
+    from sitecrawler_spark.operators.graph import opic
+
+    register_views(spark, sf_dir)
+    edges = spark.sql(PAGERANK_EDGES_SQL)
+    nodes = spark.table("documents").select(F.col("doc_id").alias("id"))
+    return opic(nodes, edges, n_iters=5).select(
+        F.col("id").alias("doc_id"), "importance"
+    )
+
+
+def q_url_trap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap scoring: per-URL structural signals — path depth,
+    max repeated path segment (calendar/mirror traps), query-param
+    count, session-id param — combined into a deterministic score.
+    Entirely map-side (no shuffle): at 10^10 URLs this runs as a
+    scan-project with zero exchanges, the shape a frontier-hygiene
+    filter must have. All arithmetic is exact binary fractions
+    (0.5/0.25 steps over small ints) so no rounding contract is
+    needed."""
+    register_views(spark, sf_dir)
+    urls = spark.sql(TRAP_URLS_SQL)
+    path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]+(/[^?]*)", 1)
+    query = F.regexp_extract(F.col("url"), r"\?(.*)$", 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
+    depth = F.size(segs)
+    max_rep = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(segs),
+                lambda s: F.size(F.filter(segs, lambda x: x == s)),
+            )
+        ),
+        F.lit(0),
+    )
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    has_sess = F.when(query.contains("sess="), F.lit(1)).otherwise(F.lit(0))
+    score = (
+        0.5 * (max_rep - F.lit(1))
+        + 0.25 * F.greatest(depth - F.lit(3), F.lit(0))
+        + 0.25 * has_sess
+    )
+    return urls.select(
+        "doc_id",
+        "url",
+        depth.cast("long").alias("depth"),
+        max_rep.cast("long").alias("max_seg_repeat"),
+        n_params.cast("long").alias("n_params"),
+        has_sess.cast("long").alias("has_session_param"),
+        score.alias("trap_score"),
+        (score >= 1.0).alias("is_trap"),
+    )
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate-driven re-crawl scheduling (Cho & Garcia-Molina,
+    "Estimating frequency of change", ACM TOIT 2003): from a derived
+    per-page fetch history (events → page_id, fetch ts, content
+    version), detect changes between consecutive fetches with a lag
+    window, then the bias-corrected Poisson estimator
+    λ̂ = -ln((n - X + 0.5) / (n + 0.5)) changes-per-fetch-interval and
+    a re-crawl interval ∝ 1/λ̂. The ln() argument is a ratio of exact
+    half-integers — bit-identical cross-engine — and the output rounds
+    6dp.
+
+    Distributed shape: one hash exchange on page_id feeding both the
+    lag window and the aggregation (same-key partitioning reused);
+    scales as a single pass over the fetch log."""
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    # derived fetch history: page = user, content version changes at a
+    # page-specific cadence (hours per version = 1 + page_id % 5)
+    hist = ev.select(
+        F.col("user_id").alias("page_id"),
+        F.col("ts"),
+        F.floor(
+            F.unix_timestamp("ts")
+            / (F.lit(3600) * (F.lit(1) + F.col("user_id") % 5))
+        ).alias("content_ver"),
+    )
+    w = Window.partitionBy("page_id").orderBy("ts")
+    obs = hist.select(
+        "page_id",
+        "ts",
+        (F.col("content_ver") != F.lag("content_ver").over(w))
+        .cast("int")
+        .alias("changed"),
+    )
+    agg = obs.groupBy("page_id").agg(
+        F.count("*").alias("n_fetches"),
+        F.coalesce(F.sum("changed"), F.lit(0)).alias("n_changes"),
+    )
+    n_int = F.col("n_fetches") - F.lit(1)  # observed intervals
+    lam = -F.log(
+        (n_int - F.col("n_changes") + F.lit(0.5)) / (n_int + F.lit(0.5))
+    )
+    return (
+        agg.filter(F.col("n_fetches") >= 3)
+        .select(
+            "page_id",
+            "n_fetches",
+            F.col("n_changes").cast("long").alias("n_changes"),
+            F.round(lam, 6).alias("lambda_hat"),
+            F.round(
+                F.when(lam > 0, F.least(F.lit(1.0) / lam, F.lit(1000.0)))
+                .otherwise(F.lit(1000.0)),
+                6,
+            ).alias("recrawl_intervals"),
+        )
+    )
