@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_opic": _queries.q_opic,
         "q_url_trap_score": _queries.q_url_trap_score,
         "q_recrawl_schedule": _queries.q_recrawl_schedule,
+        "q_sitemap_parse": _queries.q_sitemap_parse,
     }
 
 
@@ -144,4 +145,5 @@ def oracle_sql() -> dict[str, str]:
     out["q_ann_pq"] = _oracles.ann_pq_oracle()
     out["q_opic"] = _oracles.opic_oracle()
     out["q_url_trap_score"] = _oracles.url_trap_score_oracle()
+    out["q_sitemap_parse"] = _oracles.sitemap_parse_oracle()
     return out

@@ -230,6 +230,31 @@ class SparkSiteCrawler:
         ).select("raw_url", "seed_order")
         self._seed_from_df(ordered)
 
+    def seed_from_sitemaps(self, sitemaps, xml_col: str = "xml",
+                           order_col: str | None = None) -> None:
+        """Seed the frontier from sitemap XML documents — the reference
+        README's "give it a collection (your sitemap?) to start from"
+        (README.md:33) as a distributed source: native-regex <urlset>
+        parse (sources/sitemap.py), seed order = (document order, entry
+        position within the sitemap). ``order_col`` names a column that
+        orders the sitemap documents; omitted, a distributed
+        monotonically_increasing_id preserves partition/row order the
+        way seed_from_files orders lines."""
+        from sitecrawler_spark.operators.ordering import assign_global_order
+        from sitecrawler_spark.sources.sitemap import sitemap_seed_urls
+
+        if order_col is None:
+            sitemaps = sitemaps.withColumn(
+                "_doc", F.monotonically_increasing_id()
+            )
+            order_col = "_doc"
+        urls = sitemap_seed_urls(sitemaps, xml_col, order_cols=[order_col])
+        ordered = assign_global_order(
+            urls, [order_col, "pos"], "seed_order", start=0,
+            num_partitions=self.cfg.order_partitions,
+        ).select("raw_url", "seed_order")
+        self._seed_from_df(ordered)
+
     def seed(self, seed_paths: list[str] | None = None) -> None:
         """setIncludePath (SiteCrawler.java:437-448) + navigate() default
         seed (:621-628). Raw paths are enqueued; exclusion is checked on

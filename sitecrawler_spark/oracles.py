@@ -1667,3 +1667,34 @@ SELECT page_id, n_fetches, n_changes,
                   ELSE 1000.0 END, 6) AS recrawl_intervals
 FROM lam
 """
+
+
+def sitemap_parse_oracle() -> str:
+    """Independent DuckDB re-parse of the shared sitemap corpus:
+    regexp_extract_all over the block regexes + generate_subscripts for
+    entry position (the posexplode analog)."""
+    from sitecrawler_spark.queries import SITEMAPS_SQL
+    from sitecrawler_spark.sources.sitemap import (
+        CHANGEFREQ_RE, LASTMOD_RE, LOC_RE, PRIORITY_RE, SITEMAP_BLOCK_RE,
+        URL_BLOCK_RE,
+    )
+
+    def arm(block_re: str, kind: str) -> str:
+        return f"""
+SELECT doc_id, '{kind}' AS kind,
+       CAST(generate_subscripts(blocks, 1) - 1 AS BIGINT) AS pos,
+       unnest(blocks) AS block
+FROM (SELECT doc_id,
+             regexp_extract_all(xml, '{block_re}', 1) AS blocks
+      FROM sitemaps)"""
+
+    return f"""
+WITH sitemaps AS ({SITEMAPS_SQL}),
+blocks AS ({arm(URL_BLOCK_RE, 'url')} UNION ALL {arm(SITEMAP_BLOCK_RE, 'sitemap')})
+SELECT doc_id, kind, pos,
+       regexp_extract(block, '{LOC_RE}', 1) AS loc,
+       regexp_extract(block, '{LASTMOD_RE}', 1) AS lastmod,
+       regexp_extract(block, '{CHANGEFREQ_RE}', 1) AS changefreq,
+       TRY_CAST(regexp_extract(block, '{PRIORITY_RE}', 1) AS DOUBLE) AS priority
+FROM blocks
+"""

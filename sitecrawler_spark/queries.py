@@ -1504,3 +1504,45 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recrawl_intervals"),
         )
     )
+
+
+# deterministic sitemap-XML corpus — VALID IN BOTH Spark SQL and DuckDB
+# (concat/CASE/% only). Two page entries per doc (one fully attributed,
+# one loc-only) plus a nested sitemapindex reference every 10th doc.
+SITEMAPS_SQL = """
+SELECT doc_id,
+  concat(
+    '<?xml version="1.0" encoding="UTF-8"?><urlset>',
+    '<url><loc>https://www.salesforce.com/', source, '/doc', doc_id,
+    '.html</loc><lastmod>2024-0', doc_id % 9 + 1, '-1', doc_id % 9,
+    '</lastmod><changefreq>',
+    CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+         ELSE 'monthly' END,
+    '</changefreq><priority>0.', doc_id % 10, '</priority></url>',
+    '<url><loc>https://www.salesforce.com/', source, '/page', doc_id,
+    '/</loc></url>',
+    CASE WHEN doc_id % 10 = 0
+         THEN concat('<sitemap><loc>https://www.salesforce.com/sitemaps/sm',
+                     doc_id, '.xml</loc></sitemap>')
+         ELSE '' END,
+    '</urlset>'
+  ) AS xml
+FROM documents
+"""
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML seed ingestion (sources/sitemap.py): explode
+    urlset + sitemapindex entries with native regexp — the reference
+    README's sitemap seed path (README.md:33). Map-only per record
+    kind; the oracle re-parses the same derived XML with DuckDB's
+    regexp_extract_all + generate_subscripts."""
+    from sitecrawler_spark.sources.sitemap import sitemap_entries
+
+    register_views(spark, sf_dir)
+    sitemaps = spark.sql(SITEMAPS_SQL)
+    return sitemap_entries(sitemaps, "xml", keep_cols=["doc_id"]).select(
+        "doc_id", "kind",
+        F.col("pos").cast("long").alias("pos"),
+        "loc", "lastmod", "changefreq", "priority",
+    )

@@ -81,3 +81,38 @@ def test_recrawl_lambda_tracks_change_cadence(spark):
         .collect()
     }
     assert inv[1] < inv[5], inv
+
+
+def test_seed_from_sitemaps_matches_list_seed(spark):
+    """Sitemap-XML seeding equals list seeding: same frontier rows,
+    same discovery order; urlset entry order within a document and
+    document order across rows define seed order; nested sitemapindex
+    refs are NOT enqueued as pages."""
+    from sitecrawler_spark.config import CrawlerConfig
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+
+    xml1 = (
+        "<urlset>"
+        "<url><loc>/a.html</loc><priority>0.9</priority></url>"
+        "<url><loc>/b.html</loc></url>"
+        "<sitemap><loc>/nested-sitemap.xml</loc></sitemap>"
+        "</urlset>"
+    )
+    xml2 = "<urlset><url><loc>/c.html</loc></url><url><loc>/a.html</loc></url></urlset>"
+    cfg = CrawlerConfig(
+        base_url="http://www.salesforce.com",
+        base_url_secure="https://www.salesforce.com",
+        blocked=["/logout"],
+    )
+    sitemaps = spark.createDataFrame([(0, xml1), (1, xml2)], ["ord", "xml"])
+    eng_s = SparkSiteCrawler(spark, cfg, web_df=None)
+    eng_s.seed_from_sitemaps(sitemaps, xml_col="xml", order_col="ord")
+    got = [(r["raw_url"], r["discovery_order"])
+           for r in eng_s.frontier.orderBy("discovery_order").collect()]
+
+    eng_l = SparkSiteCrawler(spark, cfg, web_df=None)
+    eng_l.seed(["/a.html", "/b.html", "/c.html", "/a.html"])
+    want = [(r["raw_url"], r["discovery_order"])
+            for r in eng_l.frontier.orderBy("discovery_order").collect()]
+    assert got == want
+    assert [u for u, _ in got] == ["/a.html", "/b.html", "/c.html"]
