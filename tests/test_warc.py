@@ -1,0 +1,69 @@
+"""WARC sink/source round-trip: JVM-native record build, strict
+Content-Length framing on read."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sitecrawler_spark.sources.warc import (
+    pages_to_warc_records,
+    read_warc,
+    write_warc,
+)
+
+
+def _pages(spark):
+    rows = [
+        ("https://www.salesforce.com/a.html", "<html>plain</html>", 200),
+        # adversarial content: embedded record magic + separators +
+        # multi-byte UTF-8 — framing must survive all of it
+        ("https://www.salesforce.com/b.html",
+         "WARC/1.0\r\n\r\nContent-Length: 9\r\n\r\nfake – ünïcode ✓", 404),
+        ("https://www.salesforce.com/c.html", "", 200),
+        ("https://www.salesforce.com/d.html", "line1\nline2\r\nline3", 301),
+    ]
+    return spark.createDataFrame(rows, ["url", "content", "status"])
+
+
+def test_warc_roundtrip_multipartition(spark, tmp_path):
+    pages = _pages(spark).repartition(3)
+    out = str(tmp_path / "warc_out")
+    write_warc(pages, out, status_col="status")
+    back = read_warc(spark, out)
+    got = {
+        (r["url"], r["status"], r["content"]) for r in back.collect()
+    }
+    want = {
+        (r["url"], r["status"], r["content"]) for r in _pages(spark).collect()
+    }
+    assert got == want
+    # every record carries a deterministic id and the fixed date
+    for r in back.collect():
+        assert r["record_id"].startswith("<urn:xxh64:")
+        assert r["warc_date"] == "2024-01-01T00:00:00Z"
+
+
+def test_warc_record_build_is_jvm_native(spark):
+    """The write path must stay inside codegen — no Python nodes."""
+    recs = pages_to_warc_records(_pages(spark), status_col="status")
+    plan = recs._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+    one = recs.limit(1).collect()[0]["value"]
+    assert one.startswith("WARC/1.0\r\nWARC-Type: response\r\n")
+    # Content-Length is byte-accurate: re-frame the record by hand
+    hdr, _, body = one.partition("\r\n\r\n")
+    clen = int([l for l in hdr.split("\r\n") if l.startswith("Content-Length")][0]
+               .split(": ")[1])
+    assert len(body.encode("utf-8")) == clen
+
+
+def test_warc_rerun_is_byte_identical(spark, tmp_path):
+    """Deterministic record ids: same pages → byte-identical archive
+    content (idempotent sink for resumable pipelines)."""
+    pages = _pages(spark).coalesce(1).sortWithinPartitions("url")
+    a = [r["value"] for r in pages_to_warc_records(
+        pages, status_col="status").collect()]
+    b = [r["value"] for r in pages_to_warc_records(
+        pages, status_col="status").collect()]
+    assert a == b
