@@ -1185,6 +1185,29 @@ class SparkSiteCrawler:
             F.col("rank").cast("double").alias("_host_score"),
         ).localCheckpoint(eager=True)
 
+    def export_warc(self, out_dir: str) -> None:
+        """Archive the crawl's fetched pages as WARC response records
+        (sources/warc.py): WARC-Target-URI = full_url, HTTP status =
+        eff_status, payload = the canonical span-array JSON (the
+        engine's parsed page representation — the PageCrawl analog;
+        span order is the parse contract, so the archive round-trips
+        to the exact crawl output). Record ids are deterministic, so
+        re-exporting an identical crawl yields a byte-identical
+        archive. Runs fully distributed: one .warc file per partition,
+        no driver collect."""
+        from sitecrawler_spark.sources.warc import write_warc
+
+        pages = self.pages
+        if pages is None:
+            raise RuntimeError("export_warc: no crawl output to archive")
+        df = pages.select(
+            "full_url",
+            F.coalesce(F.col("eff_status"), F.lit(0)).alias("status"),
+            F.coalesce(F.to_json("spans"), F.lit("[]")).alias("content"),
+        )
+        write_warc(df, out_dir, url_col="full_url",
+                   content_col="content", status_col="status")
+
     def compact_state(self, max_parts: int = 1) -> list[str]:
         """Maintenance compaction of the APPEND state tables (pages /
         links / metrics): rewrite accumulated per-wave part dirs into

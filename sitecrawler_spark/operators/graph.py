@@ -257,3 +257,31 @@ def opic(
         F.round((F.col("hist") + F.col("cash")) / F.lit(float(n_iters + 1)), 6)
         .alias("importance"),
     )
+
+
+def host_opic(links: DataFrame, n_iters: int = 5) -> DataFrame:
+    """Host-level OPIC over a crawl's links table — the same
+    collapse-to-hosts graph as host_pagerank but scored with the
+    crawl-ordering OPIC importance (opic() above). Feed the result into
+    frontier_priority="host_score" via engine.set_host_scores_df.
+    Returns (host, rank)."""
+    from sitecrawler_spark.kernel import urls_spark as K
+
+    e = (
+        links.filter(F.col("src").isNotNull())
+        .select(
+            K.url_host(F.col("src")).alias("src"),
+            K.url_host(F.col("dst")).alias("dst"),
+        )
+        .filter((F.col("src") != F.col("dst"))
+                & (F.col("src") != "") & (F.col("dst") != ""))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return opic(nodes, e, n_iters=n_iters).select(
+        F.col("id").alias("host"), F.col("importance").alias("rank")
+    )

@@ -116,3 +116,35 @@ def test_seed_from_sitemaps_matches_list_seed(spark):
             for r in eng_l.frontier.orderBy("discovery_order").collect()]
     assert got == want
     assert [u for u, _ in got] == ["/a.html", "/b.html", "/c.html"]
+
+
+def test_host_opic_scores_feed_host_priority(spark):
+    """host_opic produces positive (host, rank) scores over a URL link
+    table and plugs into the engine's host_score priority path."""
+    from sitecrawler_spark.config import CrawlerConfig
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+    from sitecrawler_spark.operators.graph import host_opic
+
+    links = spark.createDataFrame(
+        [
+            ("https://a.example.com/1", "https://b.example.com/x"),
+            ("https://a.example.com/2", "https://b.example.com/y"),
+            ("https://c.example.com/1", "https://b.example.com/x"),
+            ("https://b.example.com/x", "https://c.example.com/2"),
+        ],
+        ["src", "dst"],
+    )
+    scores = host_opic(links, n_iters=4)
+    ranks = {r["host"]: r["rank"] for r in scores.collect()}
+    assert set(ranks) == {"a.example.com", "b.example.com", "c.example.com"}
+    assert all(v > 0 for v in ranks.values())
+    # b receives cash from both a and c: it must outrank a (no in-links)
+    assert ranks["b.example.com"] > ranks["a.example.com"]
+
+    cfg = CrawlerConfig(
+        base_url="https://a.example.com",
+        frontier_priority="host_score",
+    )
+    eng = SparkSiteCrawler(spark, cfg, web_df=None)
+    eng.set_host_scores_df(scores)  # accepts the (host, rank) shape
+    assert eng._host_scores_df is not None

