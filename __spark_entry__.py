@@ -77,10 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_rollup": _queries.q_events_rollup,
         "q_events_quantiles": _queries.q_events_quantiles,
         "q_orders_top_customers": _queries.q_orders_top_customers,
-        "q_quality_score": _queries.q_quality_score,
-        "q_lang_id": _queries.q_lang_id,
         "q_winnow_pairs": _queries.q_winnow_pairs,
-        "q_exact_dedup": _queries.q_exact_dedup,
         "q_minhash_pairs": _queries.q_minhash_pairs,
         "q_simhash_pairs": _queries.q_simhash_pairs,
         "q_training_pipeline": _queries.q_training_pipeline,
@@ -103,7 +100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_filtered": _queries.q_ann_filtered,
         "q_quality_filter": _queries.q_quality_filter,
         "q_events_session_windows": _queries.q_events_session_windows,
-        "q_events_asof": _queries.q_events_asof,
         "q_events_asof_tolerance": _queries.q_events_asof_tolerance,
         "q_events_range_join": _queries.q_events_range_join,
         "q_cms_word_counts": _queries.q_cms_word_counts,
@@ -113,7 +109,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontamination": _queries.q_decontamination,
         "q_stratified_sample": _queries.q_stratified_sample,
         "q_mix_weights": _queries.q_mix_weights,
+        "q_opic": _queries.q_opic,
+        "q_url_trap_score": _queries.q_url_trap_score,
+        "q_recrawl_schedule": _queries.q_recrawl_schedule,
+        "q_sitemap_parse": _queries.q_sitemap_parse,
         # ---- entries 51+ (outside the driver's 50-query window) ----
+        "q_quality_score": _queries.q_quality_score,  # kernel ⊂ q_quality_filter
+        "q_lang_id": _queries.q_lang_id,              # kernel ⊂ q_training_pipeline
+        "q_exact_dedup": _queries.q_exact_dedup,      # ⊂ q_training_pipeline
+        "q_events_asof": _queries.q_events_asof,      # ⊂ q_events_asof_tolerance
         "q_url_normalize": _queries.q_url_normalize,   # kernel ⊂ q_url_clean
         "q_prepend_base": _queries.q_prepend_base,     # kernel ⊂ q_crawl_e2e
         "q_events_sessionize": _queries.q_events_sessionize,  # ⊂ session_windows
@@ -126,10 +130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_word_freq": _queries.q_word_freq,           # ⊂ q_tfidf_topterms
         "q_doc_chunks": _queries.q_doc_chunks,         # ⊂ q_sequence_packing
         "q_fingerprint": _queries.q_fingerprint,       # ⊂ q_winnow_pairs
-        "q_opic": _queries.q_opic,
-        "q_url_trap_score": _queries.q_url_trap_score,
-        "q_recrawl_schedule": _queries.q_recrawl_schedule,
-        "q_sitemap_parse": _queries.q_sitemap_parse,
     }
 
 
