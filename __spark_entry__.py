@@ -76,7 +76,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lineitem_pricing": _queries.q_lineitem_pricing,
         "q_events_rollup": _queries.q_events_rollup,
         "q_events_quantiles": _queries.q_events_quantiles,
-        "q_orders_top_customers": _queries.q_orders_top_customers,
         "q_winnow_pairs": _queries.q_winnow_pairs,
         "q_minhash_pairs": _queries.q_minhash_pairs,
         "q_simhash_pairs": _queries.q_simhash_pairs,
@@ -89,13 +88,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_kmeans": _queries.q_ann_kmeans,
         "q_tfidf_topterms": _queries.q_tfidf_topterms,
         "q_text_features": _queries.q_text_features,
-        "q_ngram_jaccard": _queries.q_ngram_jaccard,
-        "q_ann_lsh_multi": _queries.q_ann_lsh_multi,
         "q_ann_ivf": _queries.q_ann_ivf,
         "q_ann_pq": _queries.q_ann_pq,
         "q_embed_neardup": _queries.q_embed_neardup,
         "q_dedup_clusters": _queries.q_dedup_clusters,
-        "q_span_stats": _queries.q_span_stats,
         "q_incremental_dedup": _queries.q_incremental_dedup,
         "q_ann_filtered": _queries.q_ann_filtered,
         "q_quality_filter": _queries.q_quality_filter,
@@ -109,11 +105,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontamination": _queries.q_decontamination,
         "q_stratified_sample": _queries.q_stratified_sample,
         "q_mix_weights": _queries.q_mix_weights,
+        "q_semantic_dedup": _queries.q_semantic_dedup,
+        "q_gopher_quality": _queries.q_gopher_quality,
+        "q_zorder_key": _queries.q_zorder_key,
+        "q_weighted_sample": _queries.q_weighted_sample,
         "q_opic": _queries.q_opic,
         "q_url_trap_score": _queries.q_url_trap_score,
         "q_recrawl_schedule": _queries.q_recrawl_schedule,
         "q_sitemap_parse": _queries.q_sitemap_parse,
         # ---- entries 51+ (outside the driver's 50-query window) ----
+        "q_orders_top_customers": _queries.q_orders_top_customers,  # top-k agg ⊂ q_politeness_topk + q_lineitem_pricing
+        "q_ngram_jaccard": _queries.q_ngram_jaccard,  # gram-overlap kernel ⊂ q_decontamination
+        "q_ann_lsh_multi": _queries.q_ann_lsh_multi,  # SRP machinery ⊂ q_embed_neardup (recall-pinned)
+        "q_span_stats": _queries.q_span_stats,        # exploded spans ⊂ q_span_media_align
         "q_quality_score": _queries.q_quality_score,  # kernel ⊂ q_quality_filter
         "q_lang_id": _queries.q_lang_id,              # kernel ⊂ q_training_pipeline
         "q_exact_dedup": _queries.q_exact_dedup,      # ⊂ q_training_pipeline
@@ -146,4 +150,6 @@ def oracle_sql() -> dict[str, str]:
     out["q_opic"] = _oracles.opic_oracle()
     out["q_url_trap_score"] = _oracles.url_trap_score_oracle()
     out["q_sitemap_parse"] = _oracles.sitemap_parse_oracle()
+    out["q_semantic_dedup"] = _oracles.semantic_dedup_oracle()
+    out["q_zorder_key"] = _oracles.zorder_key_oracle()
     return out

@@ -652,3 +652,78 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    init_stride: int | None = None,
+    threshold: float = 0.4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with deterministic k-means,
+    then prune within each cluster — a document is dropped when another
+    document in the SAME cluster has rounded cosine ≥ ``threshold`` and
+    a smaller id (min-id canonical, the same rule as dedup_clusters).
+
+    Scale shape: pairwise similarity is confined to intra-cluster
+    pairs — the O(N²) all-pairs problem becomes Σ|cluster|², bounded by
+    choosing n_clusters ∝ N so clusters stay ~constant-sized (SemDeDup
+    uses 50k clusters at LAION scale). The self-join shuffles on
+    centroid_id only; the argmax assignment is a broadcast join with a
+    map-side-combined groupBy (shuffle = N rows, no pairs).
+
+    Returns (id_col, centroid_id) for KEPT documents only.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, id_col, vec_col, n_clusters, n_iters, init_stride
+        )
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    rows = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    assigned = (
+        rows.join(F.broadcast(cent))
+        .select(
+            "id", "vec", "centroid_id",
+            # rounded before argmax — same rationale as kmeans_centroids
+            F.round(cosine_sim(F.col("vec"), F.col("cvec")), 6).alias("csim"),
+        )
+        .groupBy("id")
+        .agg(
+            F.expr(
+                "max_by(centroid_id, struct(csim, -centroid_id))"
+            ).alias("centroid_id"),
+            F.first("vec").alias("vec"),
+        )
+    )
+    # one hash-shuffle on centroid_id feeds BOTH sides of the
+    # intra-cluster self-join (co-located, no broadcast re-derivation)
+    assigned = assigned.repartition("centroid_id").localCheckpoint(eager=True)
+    a = assigned.select(
+        "centroid_id", F.col("id").alias("id_a"), F.col("vec").alias("_va")
+    )
+    b = assigned.select(
+        "centroid_id", F.col("id").alias("id_b"), F.col("vec").alias("_vb")
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "id", "left_anti")
+        .select(F.col("id").alias(id_col), "centroid_id")
+    )

@@ -1698,3 +1698,175 @@ SELECT doc_id, kind, pos,
        TRY_CAST(regexp_extract(block, '{PRIORITY_RE}', 1) AS DOUBLE) AS priority
 FROM blocks
 """
+
+
+# ---- round-4 batch: semantic dedup / gopher quality / z-order / ----
+# ---- weighted sampling                                          ----
+
+ORACLES["q_gopher_quality"] = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS t,
+         length(regexp_replace(trim(text), '\\s', '', 'g')) AS ns_len
+  FROM documents
+),
+base AS (
+  SELECT doc_id, text, ns_len,
+    (CASE WHEN trim(text) = '' THEN 0 ELSE len(t) END)::BIGINT AS n_tokens,
+    round(1.0 - len(list_distinct(t))::DOUBLE
+              / greatest(len(t), 1)::DOUBLE, 6) AS dup_word_frac,
+    CASE WHEN len(t) < 3 THEN 0.0 ELSE round(
+      1.0 - len(list_distinct(list_transform(range(1, len(t) - 1),
+                                             s -> array_to_string(t[s:s+2], ' '))))::DOUBLE
+          / (len(t) - 2)::DOUBLE, 6) END AS dup_3gram_frac,
+    round(list_sum(list_transform(t, x -> length(x)))::DOUBLE
+          / greatest(len(t), 1)::DOUBLE, 6) AS mean_word_len,
+    ({_stopcount('en')})::BIGINT AS stop_hits,
+    t
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                       s -> array_to_string(t[s:s+1], ' '))) AS gram
+  FROM base WHERE len(t) >= 2
+),
+counts AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, gram AS top_2gram, cnt AS top_2gram_count FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, gram DESC) AS rn
+    FROM counts) s WHERE rn = 1
+),
+j AS (
+  SELECT b.doc_id, b.n_tokens, b.dup_word_frac, b.dup_3gram_frac,
+         b.mean_word_len, b.stop_hits, t.top_2gram,
+         t.top_2gram_count::BIGINT AS top_2gram_count,
+         round(coalesce(t.top_2gram_count * (length(t.top_2gram) - 1)::DOUBLE
+                        / greatest(b.ns_len, 1)::DOUBLE, 0.0), 6)
+           AS top_2gram_frac
+  FROM base b LEFT JOIN top t USING (doc_id)
+)
+SELECT *,
+       (n_tokens >= 20 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND dup_3gram_frac <= 0.2 AND top_2gram_frac <= 0.08
+        AND stop_hits >= 2) AS keep
+FROM j
+"""
+
+
+ORACLES["q_weighted_sample"] = """
+WITH h AS (
+  SELECT lang, doc_id, n_chars,
+         ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS hk
+  FROM documents
+),
+k AS (
+  SELECT lang, doc_id, n_chars,
+         round(ln(((hk % 1099511627776) + 1.0) / 1099511627777.0)
+               / n_chars::DOUBLE, 9) AS es_key
+  FROM h
+)
+SELECT lang, doc_id, n_chars, es_key, rk::BIGINT AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY es_key DESC, doc_id) AS rk
+  FROM k) s
+WHERE rk <= 3
+"""
+
+
+def _quantize_sql(v: str, lo: float, hi: float, bits: int) -> str:
+    n_cells = 1 << bits
+    span = hi - lo
+    return (
+        f"least(floor((least(greatest(({v})::DOUBLE, {lo}), {hi}) - {lo})"
+        f" * {n_cells} / {span})::BIGINT, {n_cells - 1})"
+    )
+
+
+def zorder_key_oracle(bits: int = 16) -> str:
+    """Generated oracle for q_zorder_key: the identical quantize +
+    Morton-interleave integer arithmetic unrolled as SQL bit ops."""
+    terms = []
+    for j in range(bits):
+        for i, col in enumerate(("ucell", "vcell")):
+            terms.append(f"((({col} >> {j}) & 1) << {j * 2 + i})")
+    interleave = " | ".join(terms)
+    return f"""
+WITH q AS (
+  SELECT event_id,
+         {_quantize_sql('user_id', 0.0, 150.0, bits)} AS ucell,
+         {_quantize_sql('value', 0.0, 500.0, bits)} AS vcell
+  FROM events
+)
+SELECT event_id, ucell, vcell, ({interleave})::BIGINT AS zkey FROM q
+"""
+
+
+def semantic_dedup_oracle(
+    n_clusters: int = 8, n_iters: int = 2, init_stride: int = 60,
+    threshold: float = 0.4,
+) -> str:
+    """Generated oracle for q_semantic_dedup: the same unrolled-SQL
+    Lloyd recurrence as ann_kmeans_oracle (assignment = rounded-cosine
+    argmax, FLOAT-quantized centroid updates, empty clusters carried),
+    then the SemDeDup prune — a doc is dropped when a smaller-id doc in
+    its cluster has rounded cosine ≥ threshold."""
+    ctes = [f"""cent0 AS (
+  SELECT centroid_id, cvec FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+           embedding AS cvec
+    FROM embeddings WHERE vec_id % {init_stride} = 0) s
+  WHERE centroid_id < {n_clusters}
+)"""]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""assign{i} AS (
+  SELECT id, vec, centroid_id FROM (
+    SELECT id, vec, centroid_id,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY csim DESC, centroid_id) AS r
+    FROM (
+      SELECT e.vec_id AS id, e.embedding AS vec, c.centroid_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          c.cvec::DOUBLE[]), 6) AS csim
+      FROM embeddings e, cent{i - 1} c) s1) s2
+  WHERE r = 1
+),
+upd{i} AS (
+  SELECT centroid_id, (list(m ORDER BY dim))::FLOAT[] AS cvec FROM (
+    SELECT centroid_id, dim, avg(val) AS m FROM (
+      SELECT centroid_id, unnest(vec) AS val,
+             generate_subscripts(vec, 1) AS dim
+      FROM assign{i}) u1
+    GROUP BY centroid_id, dim) u2
+  GROUP BY centroid_id
+),
+cent{i} AS (
+  SELECT * FROM upd{i}
+  UNION ALL
+  SELECT c.* FROM cent{i - 1} c
+  LEFT JOIN upd{i} u USING (centroid_id) WHERE u.centroid_id IS NULL
+)""")
+    return f"""
+WITH {', '.join(ctes)},
+scored AS (
+  SELECT e.vec_id AS id, e.embedding AS vec, c.centroid_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.cvec::DOUBLE[]), 6) AS csim
+  FROM embeddings e, cent{n_iters} c
+),
+assign AS (
+  SELECT id, vec, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY csim DESC, centroid_id) AS r
+    FROM scored) s WHERE r = 1
+),
+dropped AS (
+  SELECT DISTINCT b.id FROM assign a
+  JOIN assign b ON a.centroid_id = b.centroid_id AND a.id < b.id
+  WHERE round(list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]), 6)
+        >= {threshold}
+)
+SELECT a.id AS vec_id, a.centroid_id::BIGINT AS centroid_id
+FROM assign a LEFT JOIN dropped d ON a.id = d.id
+WHERE d.id IS NULL
+"""

@@ -1546,3 +1546,138 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         "loc", "lastmod", "changefreq", "priority",
     )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embeddings (deterministic Lloyd, the already-gated
+    trainer), then drop any doc whose cluster contains a more-canonical
+    (smaller-id) doc with rounded cosine ≥ 0.4. Pairwise work is
+    intra-cluster only — the Σ|cluster|² shape that keeps semantic
+    dedup tractable at LAION scale. Oracle: the Lloyd recurrence
+    unrolled as SQL CTEs + a within-cluster pair anti-join."""
+    from sitecrawler_spark.dedup.ann import semantic_dedup
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    kept = semantic_dedup(
+        emb, "vec_id", "embedding",
+        n_clusters=8, n_iters=2, init_stride=60, threshold=0.4,
+    )
+    return kept.select(
+        "vec_id", F.col("centroid_id").cast("long").alias("centroid_id")
+    )
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021, arXiv:2112.11446),
+    word-level: duplicate-word fraction, duplicate-3-gram fraction,
+    mean word length, stopword hits, and the top-2-gram character
+    fraction (most frequent word 2-gram's share of non-space chars —
+    computed DISTRIBUTED: explode grams → map-side-combined count →
+    per-doc argmax window; ties prefer count desc then gram desc).
+    keep = every signal inside its Gopher-style band."""
+    from sitecrawler_spark.textops import functions as TX
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+        TX.dup_word_frac(F.col("text")).alias("dup_word_frac"),
+        TX.dup_ngram_frac(F.col("text"), 3).alias("dup_3gram_frac"),
+        TX.mean_word_len(F.col("text")).alias("mean_word_len"),
+        TX.stopword_hits(F.col("text"), "en").cast("long").alias("stop_hits"),
+        F.length(
+            F.regexp_replace(F.trim(F.col("text")), r"\s", "")
+        ).cast("long").alias("n_chars_nospace"),
+    )
+    grams = docs.select(
+        "doc_id", F.explode(TX.word_ngrams(F.col("text"), 2)).alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "gram").count()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("count").desc(), F.col("gram").desc()
+    )
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_2gram"),
+            F.col("count").cast("long").alias("top_2gram_count"),
+        )
+    )
+    j = base.join(top, "doc_id", "left")
+    # chars covered by the top 2-gram = count × len(gram without space)
+    top_frac = F.round(
+        F.coalesce(
+            F.col("top_2gram_count")
+            * (F.length("top_2gram") - 1).cast("double")
+            / F.greatest(F.col("n_chars_nospace"), F.lit(1)).cast("double"),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    j = j.withColumn("top_2gram_frac", top_frac)
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("dup_3gram_frac") <= 0.2)
+        & (F.col("top_2gram_frac") <= 0.08)
+        & (F.col("stop_hits") >= 2)
+    )
+    return j.select(
+        "doc_id", "n_tokens", "dup_word_frac", "dup_3gram_frac",
+        "mean_word_len", "stop_hits", "top_2gram", "top_2gram_count",
+        "top_2gram_frac", keep.alias("keep"),
+    )
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over events (user_id × value):
+    explicit-bounds quantization + bit interleave as a pure codegen
+    integer expression — zero shuffles for the key itself; the layout
+    op range-partitions + sorts by it so parquet min/max prune on BOTH
+    dimensions (operators/layout.py; Delta OPTIMIZE ZORDER analog).
+    Oracle: the identical integer arithmetic unrolled in SQL."""
+    from sitecrawler_spark.operators.layout import quantize, zorder_key
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    return ev.select(
+        "event_id",
+        quantize(F.col("user_id"), 0.0, 150.0, 16).alias("ucell"),
+        quantize(F.col("value"), 0.0, 500.0, 16).alias("vcell"),
+        zorder_key(
+            [F.col("user_id"), F.col("value")],
+            [(0.0, 150.0), (0.0, 500.0)], 16,
+        ).alias("zkey"),
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis,
+    IPL 2006): per-language top-3 docs by key = ln(u)/w with
+    w = n_chars and u a portable-hash uniform — heavier docs win more
+    often, yet the draw is deterministic and reproducible across
+    engines AND cluster sizes (no RNG state, unlike sample()/
+    rand(seed) which are partition-layout dependent). Key rounded 9dp
+    (libm-ulp guard), ties break by doc_id."""
+    register_views(spark, sf_dir)
+    m = float(1 << 40)
+    h = K.portable_hash64(F.col("doc_id").cast("string"))
+    u = (F.pmod(h, F.lit(1 << 40)).cast("double") + F.lit(1.0)) / F.lit(
+        m + 1.0
+    )
+    key = F.round(F.log(u) / F.col("n_chars").cast("double"), 9)
+    d = spark.table("documents").select(
+        "lang", "doc_id", "n_chars", key.alias("es_key")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "doc_id", "n_chars", "es_key", "rk")
+    )

@@ -163,3 +163,57 @@ def hashed_text_features(c: Column, dim: int = 64) -> Column:
 
     hashes = F.transform(toks, lambda t: portable_hash_str(t, 1))
     return _bind(hashes, lambda hs: _bind(vec_from(hs), normalize))
+
+
+def word_ngrams(c: Column, n: int = 2) -> Column:
+    """Word n-grams as an array<string> (space-joined windows over
+    whitespace tokens). Empty array when the doc has < n tokens."""
+    toks = F.split(F.trim(c), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(starts, lambda s: F.array_join(F.slice(toks, s, n), " "))
+    )
+
+
+def dup_word_frac(c: Column) -> Column:
+    """Fraction of word occurrences that are repeats of an earlier
+    word: 1 - distinct/total (Gopher repetition signal, Rae et al.
+    2021, arXiv:2112.11446 — word-level analog of the duplicate-line
+    fraction). Exact integer ratio rounded 6dp."""
+    toks = F.split(F.trim(c), r"\s+")
+    tot = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / tot, 6
+    )
+
+
+def dup_ngram_frac(c: Column, n: int = 3) -> Column:
+    """Fraction of word n-gram occurrences that are duplicates —
+    Gopher's dup-n-gram repetition rule at the word level."""
+    grams = word_ngrams(c, n)
+    tot = F.size(grams)
+    return F.when(tot <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double")
+            / tot.cast("double"),
+            6,
+        )
+    )
+
+
+def mean_word_len(c: Column) -> Column:
+    """Mean whitespace-token length, exact integer sums rounded 6dp
+    (Gopher quality gate: docs outside [3, 10] mean word length are
+    boilerplate/gibberish)."""
+    toks = F.split(F.trim(c), r"\s+")
+    total_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return F.round(
+        total_chars.cast("double")
+        / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+        6,
+    )

@@ -272,3 +272,20 @@ def test_bucketed_join_elides_both_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_visited")
         spark.sql("DROP TABLE IF EXISTS bt_links")
+
+
+def test_r4_batch_queries_jvm_native(spark):
+    """Round-4 batch (semantic dedup / gopher / z-order / weighted
+    sample): no Python eval nodes; the gram-count aggregation in
+    gopher runs with a map-side partial phase; weighted sampling gets
+    the WindowGroupLimit per-partition top-k."""
+    for name in ["q_gopher_quality", "q_zorder_key", "q_weighted_sample",
+                 "q_semantic_dedup"]:
+        df = getattr(Q, name)(spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    g = _plan(Q.q_gopher_quality(spark, "/root/testdata/sf0.001"))
+    assert g.count("HashAggregate") >= 2  # partial + final gram counts
+    w = _plan(Q.q_weighted_sample(spark, "/root/testdata/sf0.001"))
+    assert "WindowGroupLimit" in w
