@@ -86,7 +86,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_score": _queries.q_lm_score,
         "q_media_meta": _queries.q_media_meta,
         "q_ann_kmeans": _queries.q_ann_kmeans,
-        "q_tfidf_topterms": _queries.q_tfidf_topterms,
         "q_text_features": _queries.q_text_features,
         "q_ann_ivf": _queries.q_ann_ivf,
         "q_ann_pq": _queries.q_ann_pq,
@@ -105,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontamination": _queries.q_decontamination,
         "q_stratified_sample": _queries.q_stratified_sample,
         "q_mix_weights": _queries.q_mix_weights,
+        "q_bpe_train": _queries.q_bpe_train,
         "q_semantic_dedup": _queries.q_semantic_dedup,
         "q_gopher_quality": _queries.q_gopher_quality,
         "q_zorder_key": _queries.q_zorder_key,
@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recrawl_schedule": _queries.q_recrawl_schedule,
         "q_sitemap_parse": _queries.q_sitemap_parse,
         # ---- entries 51+ (outside the driver's 50-query window) ----
+        "q_tfidf_topterms": _queries.q_tfidf_topterms,  # tf/df agg ⊂ q_word_freq; per-doc top-k ⊂ q_politeness_topk
         "q_orders_top_customers": _queries.q_orders_top_customers,  # top-k agg ⊂ q_politeness_topk + q_lineitem_pricing
         "q_ngram_jaccard": _queries.q_ngram_jaccard,  # gram-overlap kernel ⊂ q_decontamination
         "q_ann_lsh_multi": _queries.q_ann_lsh_multi,  # SRP machinery ⊂ q_embed_neardup (recall-pinned)
@@ -152,4 +153,5 @@ def oracle_sql() -> dict[str, str]:
     out["q_sitemap_parse"] = _oracles.sitemap_parse_oracle()
     out["q_semantic_dedup"] = _oracles.semantic_dedup_oracle()
     out["q_zorder_key"] = _oracles.zorder_key_oracle()
+    out["q_bpe_train"] = _oracles.bpe_train_oracle()
     return out

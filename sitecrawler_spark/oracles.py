@@ -1870,3 +1870,60 @@ SELECT a.id AS vec_id, a.centroid_id::BIGINT AS centroid_id
 FROM assign a LEFT JOIN dropped d ON a.id = d.id
 WHERE d.id IS NULL
 """
+
+
+def bpe_model(
+    corpus: list[tuple[str, int]], n_merges: int,
+) -> tuple[list[tuple[int, str, str, int]], dict[str, list[str]]]:
+    """Independent textbook BPE trainer (pure Python): pair counts
+    weighted by word frequency, argmax with (count desc, left, right)
+    tie-break, index-walk greedy left-to-right merge."""
+    freq = dict(corpus)
+    vocab = {w: list(w) for w, _ in corpus}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = freq[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, c))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def bpe_train_oracle(n_merges: int = 12) -> str:
+    """Oracle for q_bpe_train: run bpe_model on the shared synthetic
+    corpus and emit every word's final segmentation as a VALUES
+    literal (crawl_e2e pattern — the train loop is cyclic dataflow
+    SQL cannot express; engine and model are independent
+    implementations, so the hash compare is a real cross-check)."""
+    from sitecrawler_spark.queries import bpe_corpus
+
+    corpus = bpe_corpus()
+    _, vocab = bpe_model(corpus, n_merges)
+    freq = dict(corpus)
+    vals = [
+        f"('{w}', CAST({freq[w]} AS BIGINT), '{' '.join(syms)}')"
+        for w, syms in sorted(vocab.items())
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(word, freq, seg)"
+    )

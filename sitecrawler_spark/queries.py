@@ -1681,3 +1681,34 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("lang", "doc_id", "n_chars", "es_key", "rk")
     )
+
+
+def bpe_corpus() -> list[tuple[str, int]]:
+    """Deterministic synthetic word-frequency corpus for the BPE gate —
+    sf-independent shared INPUT (the crawl_e2e synthetic-site pattern;
+    the training computation in engine and oracle stays independent).
+    Words are base-4 digit strings over 'abcd' with Zipf-ish repeated
+    substructure, so merges have real signal."""
+    agg: dict[str, int] = {}
+    for i in range(150):
+        n = 3 + (i % 4)
+        w = "".join("abcd"[(i // (4 ** k)) % 4] for k in range(n))
+        agg[w] = agg.get(w, 0) + 1 + (i * i) % 10
+    return sorted(agg.items())
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al., ACL 2016;
+    textops/tokenizer.py): 12 merges over the synthetic word-frequency
+    corpus; gated on the FINAL SEGMENTATION of every word — any wrong
+    pair count, argmax tie-break, or greedy merge application at any
+    iteration changes downstream segmentations. Oracle: an independent
+    textbook Python BPE rendered as a VALUES literal (the cyclic
+    train loop is not SQL-expressible)."""
+    from sitecrawler_spark.textops.tokenizer import bpe_train
+
+    words = spark.createDataFrame(bpe_corpus(), "word string, freq long")
+    merges, seg = bpe_train(words, 12)
+    return seg.select(
+        "word", "freq", F.array_join("sym", " ").alias("seg")
+    )
