@@ -87,17 +87,27 @@ def _rho_chain(v: Column, bits: int):
     return F.coalesce(chain, expr)
 
 
+def hll_register_cols(
+    col: Column, p: int = 6, bits: int = 16
+) -> tuple[Column, Column]:
+    """(bucket, rho) columns for one value: bucket = top p bits of the
+    portable hash, rho = leftmost-1 rank of the next ``bits`` bits.
+    Shared by the batch sketch below and the streaming register op
+    (streaming/stream_ops.streaming_hll_registers)."""
+    h = portable_hash64(col)
+    bucket = F.shiftrightunsigned(h, 60 - p).cast("int")
+    suffix = h.bitwiseAND(F.lit((1 << (60 - p)) - 1))
+    window = F.shiftrightunsigned(suffix, 60 - p - bits)
+    return bucket, _rho_chain(window, bits)
+
+
 def hll_registers(
     df: DataFrame, col: str, p: int = 6, bits: int = 16
 ) -> DataFrame:
     """HLL register table: (bucket, reg) with 2^p buckets; bucket =
     top p bits of the portable hash, reg = max rho of the next
     ``bits`` bits. One groupBy — mergeable (max) state."""
-    h = portable_hash64(F.col(col))
-    bucket = F.shiftrightunsigned(h, 60 - p).cast("int")
-    suffix = h.bitwiseAND(F.lit((1 << (60 - p)) - 1))
-    window = F.shiftrightunsigned(suffix, 60 - p - bits)
-    rho = _rho_chain(window, bits)
+    bucket, rho = hll_register_cols(F.col(col), p, bits)
     return (
         df.select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")

@@ -176,3 +176,28 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_hll_registers(
+    spark: SparkSession, source_dir: str, col: str = "user_id",
+    p: int = 6, bits: int = 16,
+) -> DataFrame:
+    """Streaming HyperLogLog: the same register construction as the
+    batch sketch (sketches.hll_registers — portable hash → bucket →
+    rho) as a streaming groupBy(bucket).max(rho). HLL registers merge
+    by max, so Complete-mode output over ANY prefix of the stream
+    equals the batch sketch of the rows seen so far, and state is a
+    CONSTANT 2^p rows no matter how many distinct keys flow past —
+    the property that makes distinct-user counting viable on an
+    unbounded crawl/event feed (streaming COUNT(DISTINCT) state grows
+    with cardinality; this never does). Feed the drained register
+    table to sketches.hll_estimate for the count."""
+    from sitecrawler_spark.sketches import hll_register_cols
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    bucket, rho = hll_register_cols(F.col(col).cast("string"), p, bits)
+    return (
+        stream.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )

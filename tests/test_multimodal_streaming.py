@@ -222,3 +222,34 @@ def test_stream_interval_join_matches_batch(spark, events_dir):
     # advances past it, so the stream must emit every batch pair; any
     # extra row would be a correctness bug outright
     assert got == exp
+
+
+def test_streaming_hll_matches_batch_sketch(spark, events_dir):
+    """Streaming HLL registers (Complete mode, availableNow drain)
+    must equal the batch sketch over the same rows — the mergeable-max
+    property — and the resulting estimate equals the batch estimate
+    bit-for-bit. State is bounded: at most 2^p register rows."""
+    from sitecrawler_spark.sketches import hll_estimate, hll_registers
+    from sitecrawler_spark.streaming import stream_ops as S
+
+    out = S.streaming_hll_registers(spark, events_dir, "user_id", p=6)
+    S.run_to_memory(out, "hll_regs", mode="complete")
+    got = {r.bucket: r.reg for r in spark.table("hll_regs").collect()}
+    batch = hll_registers(
+        spark.read.parquet(events_dir).select(
+            F.col("user_id").cast("string").alias("user_id")
+        ),
+        "user_id",
+        p=6,
+    )
+    exp = {r.bucket: r.reg for r in batch.collect()}
+    assert got == exp
+    assert len(got) <= 64  # 2^p bounded state
+    est_s = hll_estimate(
+        spark.createDataFrame(
+            [(b, r) for b, r in got.items()], "bucket int, reg int"
+        ),
+        p=6,
+    ).collect()[0]
+    est_b = hll_estimate(batch, p=6).collect()[0]
+    assert est_s == est_b
