@@ -68,14 +68,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_e2e": _queries.q_crawl_e2e,
         "q_crawl_e2e_budgeted": _queries.q_crawl_e2e_budgeted,
         "q_seen_antijoin": _queries.q_seen_antijoin,
-        "q_frontier_dedup": _queries.q_frontier_dedup,
         "q_politeness_topk": _queries.q_politeness_topk,
-        "q_referrer_agg": _queries.q_referrer_agg,
-        "q_suffix_gate": _queries.q_suffix_gate,
         "q_error_dispatch": _queries.q_error_dispatch,
         "q_lineitem_pricing": _queries.q_lineitem_pricing,
-        "q_events_rollup": _queries.q_events_rollup,
         "q_events_quantiles": _queries.q_events_quantiles,
+        "q_span_reconstruct": _queries.q_span_reconstruct,
+        "q_interleaved_pack": _queries.q_interleaved_pack,
+        "q_boilerplate_strip": _queries.q_boilerplate_strip,
+        "q_pii_redact": _queries.q_pii_redact,
         "q_winnow_pairs": _queries.q_winnow_pairs,
         "q_minhash_pairs": _queries.q_minhash_pairs,
         "q_simhash_pairs": _queries.q_simhash_pairs,
@@ -135,6 +135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_word_freq": _queries.q_word_freq,           # ⊂ q_tfidf_topterms
         "q_doc_chunks": _queries.q_doc_chunks,         # ⊂ q_sequence_packing
         "q_fingerprint": _queries.q_fingerprint,       # ⊂ q_winnow_pairs
+        "q_frontier_dedup": _queries.q_frontier_dedup,  # ⊂ q_crawl_e2e (J2/O-F7 on the e2e path)
+        "q_referrer_agg": _queries.q_referrer_agg,      # ⊂ q_crawl_e2e referrer join + q_pagerank edge agg
+        "q_suffix_gate": _queries.q_suffix_gate,        # is_excluded kernel ⊂ q_admission_filter
+        "q_events_rollup": _queries.q_events_rollup,    # time-bucket agg ⊂ q_events_quantiles
     }
 
 

@@ -1927,3 +1927,118 @@ def bpe_train_oracle(n_merges: int = 12) -> str:
         + ", ".join(vals)
         + ") AS t(word, freq, seg)"
     )
+
+
+# --- round 4c: interleaved-payload pipeline ops ----------------------------
+# Span-kind closed forms (multiples of k in [0, n-1] = (n-1)//k + 1)
+# mirror queries._span_kind_counts.
+
+ORACLES["q_interleaved_pack"] = """
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text,' ')) AS ntok FROM documents
+), m AS (
+  SELECT doc_id, source, ntok,
+         ((ntok-1)//7 + 1) - ((ntok-1)//35 + 1) AS n_media
+  FROM d
+), c AS (
+  SELECT doc_id, source, ntok, n_media,
+         (ntok - n_media) + 16*n_media AS cost,
+         sum((ntok - n_media) + 16*n_media) OVER
+           (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ((ntok - n_media) + 16*n_media) AS cum_before
+  FROM m
+)
+SELECT source, (cum_before // 512)::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_docs,
+       sum(ntok - n_media)::BIGINT AS text_tokens,
+       sum(16*n_media)::BIGINT AS media_tokens,
+       sum(n_media)::BIGINT AS n_media
+FROM c GROUP BY 1,2
+"""
+
+
+ORACLES["q_span_reconstruct"] = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text,' ') AS ts FROM documents
+), r AS (
+  SELECT doc_id, text, len(ts) AS n,
+    array_to_string(
+      list_transform(range(len(ts)), i -> CASE
+        WHEN i%5=0 THEN '[' || ts[i+1] || ']'
+        WHEN i%7=0 THEN '<|media:ref://' || ts[i+1] || '|>'
+        ELSE ts[i+1] END),
+      ' ') AS recon
+  FROM t
+)
+SELECT doc_id, n::BIGINT AS n_spans,
+       (((n-1)//7 + 1) - ((n-1)//35 + 1))::BIGINT AS n_media,
+       replace(replace(replace(replace(recon,'<|media:ref://',''),'|>',''),'[',''),']','')
+         = text AS roundtrip_ok,
+       ('0x' || substr(md5(recon),1,15))::BIGINT AS recon_hash
+FROM r
+"""
+
+
+ORACLES["q_boilerplate_strip"] = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text,' ') AS ts FROM documents
+), la AS (
+  SELECT doc_id, source,
+    ['nav ' || source || ' home login'] ||
+    list_transform(range((len(ts)+7)//8),
+                   g -> array_to_string(list_slice(ts, g*8+1, g*8+8), ' ')) ||
+    ['footer ' || source || ' copyright contact'] AS ll
+  FROM t
+), l2 AS (
+  SELECT doc_id, source,
+         generate_subscripts(ll,1)-1 AS line_id, unnest(ll) AS line_text
+  FROM la
+), stats AS (
+  SELECT source, line_text, count(DISTINCT doc_id) AS n_docs_line
+  FROM l2 GROUP BY 1,2
+), hostc AS (
+  SELECT source, count(DISTINCT doc_id) AS host_docs FROM documents GROUP BY 1
+), flagged AS (
+  SELECT s.source, s.line_text FROM stats s JOIN hostc h USING(source)
+  WHERE s.n_docs_line >= 3 AND 5*s.n_docs_line > h.host_docs
+)
+SELECT l.doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN f.line_text IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       bit_xor(CASE WHEN f.line_text IS NULL THEN
+         ('0x' || substr(md5(l.line_id || ':' || l.line_text),1,15))::BIGINT
+       END) AS kept_hash
+FROM l2 l LEFT JOIN flagged f
+  ON l.source = f.source AND l.line_text = f.line_text
+GROUP BY 1
+"""
+
+
+ORACLES["q_pii_redact"] = """
+WITH a AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id%3 <> 0
+         THEN ' contact user' || (doc_id%97) || '@ex' || (doc_id%7) || '.com'
+         ELSE ' contact none' END ||
+    CASE WHEN doc_id%4 <> 0
+         THEN ' from 10.' || (doc_id%256) || '.0.' || (doc_id%100)
+         ELSE ' from nowhere' END ||
+    CASE WHEN doc_id%5 = 0 THEN ' cc admin@site.org' ELSE '' END AS aug
+  FROM documents
+), r AS (
+  SELECT doc_id, aug,
+    regexp_replace(
+      regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS red
+  FROM a
+)
+SELECT doc_id,
+  len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+    AS n_emails,
+  len(regexp_extract_all(aug, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT
+    AS n_ips,
+  ('0x' || substr(md5(red),1,15))::BIGINT AS red_hash
+FROM r
+"""

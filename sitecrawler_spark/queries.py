@@ -1712,3 +1712,207 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.select(
         "word", "freq", F.array_join("sym", " ").alias("seg")
     )
+
+
+# --- round 4c: interleaved-payload pipeline ops ----------------------------
+
+
+def _span_kind_counts(n):
+    """Span-kind counts for the deterministic token→span rule used by
+    q_span_media_align (offset i: i%5==0 → anchor, elif i%7==0 → media,
+    else text), in closed form over a token count ``n`` so both the
+    Spark plan and the DuckDB oracle compute them without exploding:
+    multiples of k in [0, n-1] = floor((n-1)/k) + 1."""
+    n_anchor = F.floor((n - 1) / 5) + 1
+    n_media = (F.floor((n - 1) / 7) + 1) - (F.floor((n - 1) / 35) + 1)
+    return n_anchor.cast("long"), n_media.cast("long")
+
+
+def q_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sequence packing over the interleaved span model
+    (input_hint shape): each doc's cost is its text/anchor spans at one
+    token each plus a fixed 16-patch-token budget per media span (the
+    vision-encoder placeholder convention), then docs pack into
+    512-token training sequences per source in doc_id order (same
+    first-token rule as q_sequence_packing). Span-kind counts are
+    closed-form arithmetic — the whole per-doc stage is map-side, and
+    the only exchange is the per-source packing window reused by the
+    final groupBy."""
+    register_views(spark, sf_dir)
+    B, PATCH = 512, 16
+    n = F.size(F.split(F.col("text"), " "))
+    d = spark.table("documents").select("doc_id", "source", n.alias("ntok"))
+    _, n_media = _span_kind_counts(F.col("ntok"))
+    d = d.withColumn("n_media", n_media).withColumn(
+        "cost", (F.col("ntok") - F.col("n_media")) + PATCH * F.col("n_media")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = d.withColumn("cum_before", F.sum("cost").over(w) - F.col("cost"))
+    return (
+        c.groupBy(
+            "source", F.floor(F.col("cum_before") / B).cast("long").alias("seq_id")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("ntok") - F.col("n_media")).cast("long").alias("text_tokens"),
+            F.sum(PATCH * F.col("n_media")).cast("long").alias("media_tokens"),
+            F.sum("n_media").cast("long").alias("n_media"),
+        )
+    )
+
+
+def q_span_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-document round-trip: render each doc's span sequence
+    (kind, text, media_ref, offset) to a sentinel-token string —
+    anchors as [tok], media as <|media:ref://tok|>, text verbatim —
+    and verify the rendering is lossless by stripping the sentinels
+    back off and comparing to the source text. This gates the north
+    rule's per-row invariant (span-sequence equality: kind, text,
+    media_ref, order) INSIDE the driver hash: any kind misclassify,
+    reorder, or dropped span flips roundtrip_ok / recon_hash. Entirely
+    array-native per row — zero shuffles, zero explodes; at 100 TB this
+    is a map-only pass."""
+    register_views(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    rend = F.transform(
+        toks,
+        lambda x, i: F.when(i % 5 == 0, F.concat(F.lit("["), x, F.lit("]")))
+        .when(i % 7 == 0, F.concat(F.lit("<|media:ref://"), x, F.lit("|>")))
+        .otherwise(x),
+    )
+    recon = F.array_join(rend, " ")
+    n = F.size(toks)
+    _, n_media = _span_kind_counts(n)
+    stripped = F.replace(
+        F.replace(
+            F.replace(
+                F.replace(recon, F.lit("<|media:ref://"), F.lit("")),
+                F.lit("|>"),
+                F.lit(""),
+            ),
+            F.lit("["),
+            F.lit(""),
+        ),
+        F.lit("]"),
+        F.lit(""),
+    )
+    return spark.table("documents").select(
+        "doc_id",
+        n.cast("long").alias("n_spans"),
+        n_media.alias("n_media"),
+        (stripped == F.col("text")).alias("roundtrip_ok"),
+        K.portable_hash64(recon).alias("recon_hash"),
+    )
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host boilerplate line removal (the C4/RefinedWeb chrome
+    strip): a doc's lines are a synthetic per-source nav header, its
+    8-token text chunks, and a per-source footer; a line is boilerplate
+    on a host when it appears in >20% of the host's docs (integer
+    arithmetic: 5*n_docs_line > host_docs — float-free, portable) and
+    in at least 3 docs. Plan: map-side line build + explode, one
+    (source, line) agg for line frequencies, a broadcast of the tiny
+    per-host doc counts, one shuffle join back, one per-doc agg —
+    frequencies key on (host, line) so a globally common line never
+    concentrates on one reducer at 100 TB."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    L = 8
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(L)).cast("int")
+    chunk_lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda g: F.array_join(F.slice(toks, g * L + 1, L), " "),
+    )
+    hdr = F.concat_ws(" ", F.lit("nav"), F.col("source"), F.lit("home login"))
+    ftr = F.concat_ws(
+        " ", F.lit("footer"), F.col("source"), F.lit("copyright contact")
+    )
+    lines = F.concat(F.array(hdr), chunk_lines, F.array(ftr))
+    ex = docs.select(
+        "doc_id", "source", F.posexplode(lines).alias("line_id", "line_text")
+    )
+    stats = ex.groupBy("source", "line_text").agg(
+        F.count_distinct("doc_id").alias("n_docs_line")
+    )
+    hostc = docs.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("host_docs")
+    )
+    flagged = (
+        stats.join(F.broadcast(hostc), "source")
+        .filter(
+            (F.col("n_docs_line") >= 3)
+            & (5 * F.col("n_docs_line") > F.col("host_docs"))
+        )
+        .select("source", "line_text", F.lit(True).alias("_bp"))
+    )
+    kept_hash = F.when(
+        F.col("_bp").isNull(),
+        K.portable_hash64(
+            F.concat(F.col("line_id").cast("string"), F.lit(":"), F.col("line_text"))
+        ),
+    )
+    return (
+        ex.join(flagged, ["source", "line_text"], "left")
+        .withColumn("_khash", kept_hash)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("_bp").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.expr("bit_xor(_khash)").alias("kept_hash"),
+        )
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email + IPv4 redaction with match counts), the
+    standard pre-training privacy pass. PII is synthesised
+    deterministically per doc (the corpus text itself is clean words)
+    so the gate exercises real match/replace behavior on both engines.
+    Single regexp pass per pattern, map-only — no shuffle at any
+    scale; regex stays off the crawl hot path by design."""
+    register_views(spark, sf_dir)
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 != 0,
+            F.concat(
+                F.lit(" contact user"),
+                (d % 97).cast("string"),
+                F.lit("@ex"),
+                (d % 7).cast("string"),
+                F.lit(".com"),
+            ),
+        ).otherwise(F.lit(" contact none")),
+        F.when(
+            d % 4 != 0,
+            F.concat(
+                F.lit(" from 10."),
+                (d % 256).cast("string"),
+                F.lit(".0."),
+                (d % 100).cast("string"),
+            ),
+        ).otherwise(F.lit(" from nowhere")),
+        F.when(d % 5 == 0, F.lit(" cc admin@site.org")).otherwise(F.lit("")),
+    )
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    red = F.regexp_replace(
+        F.regexp_replace(aug, EMAIL, "<EMAIL>"), IP, "<IP>"
+    )
+    return spark.table("documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(IP), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        K.portable_hash64(red).alias("red_hash"),
+    )

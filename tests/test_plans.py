@@ -289,3 +289,25 @@ def test_r4_batch_queries_jvm_native(spark):
     assert g.count("HashAggregate") >= 2  # partial + final gram counts
     w = _plan(Q.q_weighted_sample(spark, "/root/testdata/sf0.001"))
     assert "WindowGroupLimit" in w
+
+
+def test_r4c_span_pipeline_plan_shapes(spark):
+    """Round-4c interleaved ops: the two per-row passes
+    (span round-trip render, PII redaction) are map-only — zero
+    Exchange, zero Python nodes; interleaved packing reuses ONE
+    exchange (the per-source window feeds the final agg); boilerplate
+    strip broadcasts the tiny per-host doc counts and keys line
+    frequencies on (source, line) so no global-line hotspot exists."""
+    sf = "/root/testdata/sf0.001"
+    for name in ["q_span_reconstruct", "q_pii_redact"]:
+        plan = _plan(getattr(Q, name)(spark, sf))
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    import re
+
+    p = _plan(Q.q_interleaved_pack(spark, sf))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "BatchEvalPython" not in p
+    b = _plan(Q.q_boilerplate_strip(spark, sf))
+    assert "BroadcastHashJoin" in b
+    assert "BatchEvalPython" not in b and "ArrowEvalPython" not in b
