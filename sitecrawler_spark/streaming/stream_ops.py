@@ -201,3 +201,37 @@ def streaming_hll_registers(
         .groupBy("bucket")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def streaming_cms_cells(
+    spark: SparkSession, source_dir: str, col: str = "user_id",
+    d: int = 3, w: int = 64,
+) -> DataFrame:
+    """Streaming Count-Min sketch: the same single-scan cell
+    construction as the batch sketch (sketches.cms_build — each value
+    emits its d (row, bucket) cells as one inline array) as a
+    streaming groupBy count. CMS cells merge by SUM, so Complete-mode
+    output over any prefix of the stream equals the batch table of
+    the rows seen so far, and state is a CONSTANT ≤ d×w rows no
+    matter how many distinct keys flow past — frequency tracking on
+    an unbounded feed (hot-host detection, trending queries) without
+    per-key state. Feed the drained table to sketches.cms_estimate
+    for point queries."""
+    from sitecrawler_spark.sketches import _cms_bucket
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    v = F.col(col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                _cms_bucket(v, j, w).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        stream.select(F.explode(cells).alias("_c"))
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )

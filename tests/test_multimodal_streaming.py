@@ -253,3 +253,44 @@ def test_streaming_hll_matches_batch_sketch(spark, events_dir):
     ).collect()[0]
     est_b = hll_estimate(batch, p=6).collect()[0]
     assert est_s == est_b
+
+
+def test_streaming_cms_matches_batch_sketch(spark, events_dir):
+    """Streaming CMS cells (Complete mode, availableNow drain) equal
+    the batch sketch over the same rows — counters merge by sum — and
+    point estimates from the drained table are bit-identical to batch
+    estimates. State is bounded: at most d×w cells."""
+    from sitecrawler_spark.sketches import cms_build, cms_estimate
+    from sitecrawler_spark.streaming import stream_ops as S
+
+    out = S.streaming_cms_cells(spark, events_dir, "user_id", d=3, w=32)
+    S.run_to_memory(out, "cms_cells", mode="complete")
+    got = {(r.row, r.bucket): r.cnt for r in spark.table("cms_cells").collect()}
+    src = spark.read.parquet(events_dir).select(
+        F.col("user_id").cast("string").alias("user_id")
+    )
+    batch = cms_build(src, "user_id", d=3, w=32)
+    exp = {(r.row, r.bucket): r.cnt for r in batch.collect()}
+    assert got == exp
+    assert len(got) <= 3 * 32
+    items = src.distinct().limit(20)
+    est_s = {
+        r.user_id: r.est
+        for r in cms_estimate(
+            spark.createDataFrame(
+                [(rw, b, c) for (rw, b), c in got.items()],
+                "row int, bucket int, cnt long",
+            ),
+            items, "user_id", d=3, w=32,
+        ).collect()
+    }
+    est_b = {
+        r.user_id: r.est
+        for r in cms_estimate(batch, items, "user_id", d=3, w=32).collect()
+    }
+    assert est_s == est_b
+    # one-sided error: estimates never undercount the true frequency
+    tf = {r.user_id: r.cnt for r in
+          src.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    for k, e in est_s.items():
+        assert e >= tf[k]
