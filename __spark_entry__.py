@@ -71,7 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_politeness_topk": _queries.q_politeness_topk,
         "q_error_dispatch": _queries.q_error_dispatch,
         "q_lineitem_pricing": _queries.q_lineitem_pricing,
-        "q_events_quantiles": _queries.q_events_quantiles,
+        "q_quantile_sketch": _queries.q_quantile_sketch,
         "q_span_reconstruct": _queries.q_span_reconstruct,
         "q_interleaved_pack": _queries.q_interleaved_pack,
         "q_boilerplate_strip": _queries.q_boilerplate_strip,
@@ -138,7 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frontier_dedup": _queries.q_frontier_dedup,  # ⊂ q_crawl_e2e (J2/O-F7 on the e2e path)
         "q_referrer_agg": _queries.q_referrer_agg,      # ⊂ q_crawl_e2e referrer join + q_pagerank edge agg
         "q_suffix_gate": _queries.q_suffix_gate,        # is_excluded kernel ⊂ q_admission_filter
-        "q_events_rollup": _queries.q_events_rollup,    # time-bucket agg ⊂ q_events_quantiles
+        "q_events_rollup": _queries.q_events_rollup,    # time-bucket agg ⊂ q_events_session_windows shuffle shape
+        "q_events_quantiles": _queries.q_events_quantiles,  # exact-sort percentile; monitoring shape gated via q_quantile_sketch
     }
 
 

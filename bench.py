@@ -283,7 +283,10 @@ def main() -> None:
                  "q_cms_word_counts", "q_hll_distinct_users",
                  "q_hits", "q_inverted_index", "q_lm_score",
                  "q_winnow_pairs", "q_semantic_dedup", "q_gopher_quality",
-                 "q_zorder_key", "q_weighted_sample", "q_bpe_train"):
+                 "q_zorder_key", "q_weighted_sample", "q_bpe_train",
+                 "q_span_reconstruct", "q_interleaved_pack",
+                 "q_boilerplate_strip", "q_pii_redact",
+                 "q_quantile_sketch"):
         pipeline[name] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )

@@ -2042,3 +2042,33 @@ SELECT doc_id,
   ('0x' || substr(md5(red),1,15))::BIGINT AS red_hash
 FROM r
 """
+
+
+def _hq(num: int, den: int) -> str:
+    r = f"(n * {num} + {den} - 1) // {den}"
+    return (
+        f"max(CASE WHEN cum >= {r} AND cum - cnt < {r} THEN "
+        f"round((bin + ({r} - (cum - cnt))::DOUBLE / cnt::DOUBLE) * 2.5 + 0.0, 6) "
+        f"END)"
+    )
+
+
+ORACLES["q_quantile_sketch"] = f"""
+WITH h AS (
+  SELECT event_type,
+         least(255, greatest(0, floor(value / 2.5)))::INT AS bin,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type,
+       {_hq(50, 100)} AS p50,
+       {_hq(90, 100)} AS p90,
+       {_hq(99, 100)} AS p99
+FROM c GROUP BY 1
+"""

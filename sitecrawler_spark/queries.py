@@ -1916,3 +1916,24 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         K.portable_hash64(red).alias("red_hash"),
     )
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch percentiles (p50/p90/p99 of event value per
+    type) — the constant-state alternative to q_events_quantiles'
+    exact sort: one map-side-combined (type, bin) count (≤256 rows per
+    key cross the exchange) + a window over the tiny sketch. Rank
+    targets are pure integer arithmetic; only the within-bin
+    interpolation touches floats (6dp-rounded). At 100 TB the exact
+    percentile is a full shuffle-sort per key; this is one scan."""
+    from sitecrawler_spark.sketches import hist_build, hist_quantiles
+
+    register_views(spark, sf_dir)
+    LO, HI, NB = 0.0, 640.0, 256  # width 2.5 — exact binary fraction
+    ev = spark.table("events")
+    h = hist_build(ev, "value", LO, HI, NB, keys=("event_type",))
+    return hist_quantiles(
+        h,
+        [("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100)],
+        LO, HI, NB, keys=("event_type",),
+    )

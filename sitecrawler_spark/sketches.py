@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sitecrawler_spark.kernel.urls_spark import portable_hash64
@@ -133,3 +133,64 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
         (est <= F.lit(2.5 * m)) & (zeros > 0), small
     ).otherwise(est)
     return agg.select(F.round(out, 4).alias("est"))
+
+
+# --- fixed-boundary histogram quantile sketch ------------------------------
+
+
+def hist_build(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int,
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fixed-boundary histogram: (keys..., bin, cnt), ≤ nbins rows per
+    key. The third mergeable sketch next to CMS (frequency) and HLL
+    (cardinality): bins merge by SUM, so partial histograms combine
+    map-side and across batches/streams, and quantile queries need a
+    single tiny-table pass instead of the full sort an exact
+    percentile costs at scale. Values outside [lo, hi) clamp into the
+    edge bins (the sketch stays total)."""
+    width = (hi - lo) / nbins
+    b = (
+        F.least(
+            F.lit(nbins - 1),
+            F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width)),
+        )
+    ).cast("int")
+    return df.groupBy(*keys, b.alias("bin")).agg(F.count("*").alias("cnt"))
+
+
+def hist_quantiles(
+    hist: DataFrame, quantiles: list[tuple[str, int, int]],
+    lo: float, hi: float, nbins: int, keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch, one output row per
+    key with a column per quantile. ``quantiles`` are exact rationals
+    (name, num, den) — e.g. ("p50", 50, 100) — so the target rank
+    r = ceil(q·N) is INTEGER arithmetic, reproducible bit-for-bit in
+    any engine; only the final within-bin interpolation
+    (bin + (r - cum_before)/cnt) · width touches floats, and it is
+    rounded to 6dp. Estimate error is bounded by one bin width.
+    The hist table is ≤ nbins·|keys| rows — this whole pass is a
+    near-free window over a tiny frame."""
+    width = (hi - lo) / nbins
+    kcols = list(keys)
+    w = (
+        Window.partitionBy(*kcols).orderBy("bin")
+        if kcols
+        else Window.partitionBy(F.lit(1)).orderBy("bin")
+    )
+    h = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*kcols) if kcols
+                               else Window.partitionBy(F.lit(1)))
+    )
+    aggs = []
+    for name, num, den in quantiles:
+        # r = ceil(n·num/den) in pure INTEGER arithmetic (no float ceil)
+        r = F.expr(f"(n * {num} + {den} - 1) div {den}")
+        hit = (F.col("cum") >= r) & (F.col("cum") - F.col("cnt") < r)
+        frac = (r - (F.col("cum") - F.col("cnt"))).cast("double") / F.col(
+            "cnt"
+        ).cast("double")
+        est = F.round((F.col("bin") + frac) * F.lit(width) + F.lit(lo), 6)
+        aggs.append(F.max(F.when(hit, est)).alias(name))
+    return h.groupBy(*kcols).agg(*aggs)

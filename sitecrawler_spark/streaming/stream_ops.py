@@ -235,3 +235,25 @@ def streaming_cms_cells(
         .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def streaming_hist_cells(
+    spark: SparkSession, source_dir: str, col: str = "value",
+    lo: float = 0.0, hi: float = 640.0, nbins: int = 256,
+) -> DataFrame:
+    """Streaming histogram sketch: fixed-boundary bin counts as a
+    streaming groupBy. Bins merge by SUM, so Complete-mode output over
+    any stream prefix equals the batch sketch (sketches.hist_build)
+    of the rows seen so far, with CONSTANT ≤ nbins state — quantile
+    monitoring (latency p99s, size distributions) on an unbounded
+    feed without the full sort exact percentiles need. Drain into
+    sketches.hist_quantiles for the estimates."""
+    width = (hi - lo) / nbins
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    b = (
+        F.least(
+            F.lit(nbins - 1),
+            F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width)),
+        )
+    ).cast("int")
+    return stream.groupBy(b.alias("bin")).agg(F.count("*").alias("cnt"))

@@ -294,3 +294,29 @@ def test_streaming_cms_matches_batch_sketch(spark, events_dir):
           src.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
     for k, e in est_s.items():
         assert e >= tf[k]
+
+
+def test_streaming_hist_matches_batch_and_bounds_error(spark, events_dir):
+    """Streaming histogram cells ≡ batch sketch over the same rows;
+    quantile estimates from the drained sketch sit within one bin
+    width of the exact percentile; state ≤ nbins."""
+    from sitecrawler_spark.sketches import hist_build, hist_quantiles
+    from sitecrawler_spark.streaming import stream_ops as S
+
+    out = S.streaming_hist_cells(spark, events_dir, "value", 0.0, 640.0, 256)
+    S.run_to_memory(out, "hist_cells", mode="complete")
+    got = {r.bin: r.cnt for r in spark.table("hist_cells").collect()}
+    src = spark.read.parquet(events_dir)
+    batch = hist_build(src, "value", 0.0, 640.0, 256)
+    exp = {r.bin: r.cnt for r in batch.collect()}
+    assert got == exp
+    assert len(got) <= 256
+    est = hist_quantiles(
+        batch, [("p50", 50, 100), ("p99", 99, 100)], 0.0, 640.0, 256
+    ).collect()[0]
+    exact = src.agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    ).collect()[0]
+    assert abs(est.p50 - exact.p50) <= 2.5 + 1e-6
+    assert abs(est.p99 - exact.p99) <= 2.5 + 1e-6
