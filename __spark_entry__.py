@@ -68,7 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_e2e": _queries.q_crawl_e2e,
         "q_crawl_e2e_budgeted": _queries.q_crawl_e2e_budgeted,
         "q_seen_antijoin": _queries.q_seen_antijoin,
-        "q_politeness_topk": _queries.q_politeness_topk,
+        "q_anchor_index": _queries.q_anchor_index,
         "q_error_dispatch": _queries.q_error_dispatch,
         "q_lineitem_pricing": _queries.q_lineitem_pricing,
         "q_quantile_sketch": _queries.q_quantile_sketch,
@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suffix_gate": _queries.q_suffix_gate,        # is_excluded kernel ⊂ q_admission_filter
         "q_events_rollup": _queries.q_events_rollup,    # time-bucket agg ⊂ q_events_session_windows shuffle shape
         "q_events_quantiles": _queries.q_events_quantiles,  # exact-sort percentile; monitoring shape gated via q_quantile_sketch
+        "q_politeness_topk": _queries.q_politeness_topk,  # politeness budget ⊂ q_crawl_e2e_budgeted (driver-gated model parity)
+        "q_mirror_detect": _queries.q_mirror_detect,  # content-fingerprint join ⊂ q_exact_dedup/q_incremental_dedup shapes
     }
 
 

@@ -2072,3 +2072,48 @@ SELECT event_type,
        {_hq(99, 100)} AS p99
 FROM c GROUP BY 1
 """
+
+
+ORACLES["q_anchor_index"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text,' ') AS ts FROM documents
+), an AS (
+  SELECT doc_id,
+         list_transform(range((len(ts)+4)//5), k -> ts[5*k+1]) AS anchor_toks
+  FROM d
+), n AS (SELECT max(doc_id)+1 AS nn FROM documents),
+e AS (
+  SELECT ((a.doc_id*7+3) % n.nn) AS dst_id, a.anchor_toks FROM an a, n
+  UNION ALL
+  SELECT ((a.doc_id*3+1) % n.nn) AS dst_id, a.anchor_toks FROM an a, n
+)
+SELECT dst_id, count(*)::BIGINT AS n_inlinks,
+       array_to_string(
+         list_slice(list_sort(list_distinct(flatten(list(anchor_toks)))), 1, 64),
+         ' ') AS anchor_terms
+FROM e GROUP BY 1
+"""
+
+
+ORACLES["q_mirror_detect"] = """
+WITH c AS (
+  SELECT source, doc_id,
+         ('0x' || substr(md5(text),1,15))::BIGINT AS fp
+  FROM documents
+  UNION ALL
+  SELECT 'mirror-of-' || source AS source, doc_id,
+         ('0x' || substr(md5(text),1,15))::BIGINT AS fp
+  FROM documents WHERE doc_id % 3 = 0
+), hn AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM c GROUP BY 1
+), sh AS (
+  SELECT a.source AS host_a, b.source AS host_b, count(*)::BIGINT AS shared_docs
+  FROM c a JOIN c b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT sh.host_a, sh.host_b, sh.shared_docs,
+       ha.n_docs AS docs_a, hb.n_docs AS docs_b,
+       round(sh.shared_docs / least(ha.n_docs, hb.n_docs), 6) AS overlap
+FROM sh JOIN hn ha ON sh.host_a = ha.source
+        JOIN hn hb ON sh.host_b = hb.source
+"""

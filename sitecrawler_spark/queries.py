@@ -1937,3 +1937,104 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100)],
         LO, HI, NB, keys=("event_type",),
     )
+
+
+def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (the classic web-search ranking signal:
+    Brin & Page 1998 §2.2 — text of inlink anchors describes the
+    TARGET page): each doc's anchor spans (the span model's i%5==0
+    tokens) travel along its two deterministic outlinks (the
+    q_referrer_agg edge rule); per destination, the index row is the
+    sorted distinct anchor vocabulary of all inlinks. Anchor arrays
+    are built map-side from the span rule (array filter — no
+    explode); the per-dst agg flattens ≤ inlink-count small arrays,
+    and sort+distinct normalizes collect order so the result is
+    layout-independent. Hot pages (many inlinks) are the skew case:
+    vocabulary is capped at 64 terms after sort (mirrored in the
+    oracle) so a 10^8-inlink homepage cannot blow a reducer."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = F.split(F.col("text"), " ")
+    anchors = F.filter(toks, lambda x, i: i % 5 == 0)
+    d = docs.select("doc_id", anchors.alias("anchor_toks"))
+    nd = d.agg((F.max("doc_id") + 1).alias("_n"))
+    a = d.crossJoin(F.broadcast(nd))
+    ids = docs.select(F.col("doc_id").alias("dst_id"))
+    e1 = a.join(ids, F.col("dst_id") == (a["doc_id"] * 7 + 3) % F.col("_n"))
+    e2 = a.join(ids, F.col("dst_id") == (a["doc_id"] * 3 + 1) % F.col("_n"))
+    edges = e1.unionByName(e2).select("dst_id", "anchor_toks")
+    return (
+        edges.groupBy("dst_id")
+        .agg(
+            F.count("*").cast("long").alias("n_inlinks"),
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("anchor_toks")))
+                ),
+                1,
+                64,
+            ).alias("_terms"),
+        )
+        .select(
+            "dst_id",
+            "n_inlinks",
+            F.array_join("_terms", " ").alias("anchor_terms"),
+        )
+    )
+
+
+def q_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-mirror detection (Bharat & Broder 1999: mirrored hosts
+    serve the same content under different names — a crawler that
+    misses them fetches everything twice): a deterministic mirrored
+    corpus (docs with doc_id%3==0 are republished under
+    'mirror-of-<source>' (3 ⊥ 20 sources, so EVERY host is partially
+    mirrored)) is fingerprinted per doc; host pairs are
+    joined on content fingerprint and flagged when they share ≥ 3
+    docs. The fingerprint join is the whole cost: keyed on the hash,
+    so identical content concentrates per fingerprint (bounded here
+    by mirror count, capped in the boilerplate-style skew pattern at
+    real scale); the per-pair agg is tiny. Output ratio uses integer
+    doc counts — float-free ordering."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    base = docs.select("source", "doc_id", K.portable_hash64(F.col("text")).alias("fp"))
+    mirrored = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.concat(F.lit("mirror-of-"), F.col("source")).alias("source"),
+            "doc_id",
+            K.portable_hash64(F.col("text")).alias("fp"),
+        )
+    )
+    corpus = base.unionByName(mirrored)
+    hostn = corpus.groupBy("source").agg(F.count("*").alias("n_docs"))
+    a = corpus.select(F.col("source").alias("host_a"), "fp")
+    b = corpus.select(F.col("source").alias("host_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("shared_docs"))
+        .filter(F.col("shared_docs") >= 3)
+    )
+    return (
+        shared.join(
+            F.broadcast(hostn.select(F.col("source").alias("host_a"),
+                                     F.col("n_docs").alias("docs_a"))),
+            "host_a",
+        )
+        .join(
+            F.broadcast(hostn.select(F.col("source").alias("host_b"),
+                                     F.col("n_docs").alias("docs_b"))),
+            "host_b",
+        )
+        .select(
+            "host_a", "host_b", "shared_docs", "docs_a", "docs_b",
+            F.round(
+                F.col("shared_docs")
+                / F.least(F.col("docs_a"), F.col("docs_b")),
+                6,
+            ).alias("overlap"),
+        )
+    )

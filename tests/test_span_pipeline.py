@@ -116,3 +116,35 @@ def test_pii_redact_counts_follow_synthesis_rule(spark):
     # text but different doc_id PII still hash differently only via
     # surviving literals, so at minimum hashes exist and are non-null
     assert all(r.red_hash is not None for r in rows)
+
+
+def test_anchor_index_terms_come_from_inlink_sources(spark):
+    """Every dst's anchor vocabulary is exactly the union of its two
+    deterministic inlink sources' anchor tokens (sorted, capped 64)."""
+    out = {r.dst_id: r for r in Q.q_anchor_index(spark, SF).collect()}
+    docs = {r.doc_id: r.text for r in spark.table("documents").collect()}
+    n = max(docs) + 1
+    inlinks: dict[int, list[int]] = {}
+    for sid in docs:
+        for dst in ((sid * 7 + 3) % n, (sid * 3 + 1) % n):
+            inlinks.setdefault(dst, []).append(sid)
+    for dst, srcs in list(inlinks.items())[:50]:
+        vocab = set()
+        for sid in srcs:
+            toks = docs[sid].split(" ")
+            vocab.update(t for i, t in enumerate(toks) if i % 5 == 0)
+        want = " ".join(sorted(vocab)[:64])
+        assert out[dst].n_inlinks == len(srcs)
+        assert out[dst].anchor_terms == want
+
+
+def test_mirror_detect_flags_every_synthetic_mirror_and_nothing_else(spark):
+    rows = Q.q_mirror_detect(spark, SF).collect()
+    sources = {r.source for r in spark.table("documents")
+               .select("source").distinct().collect()}
+    got = {(r.host_a, r.host_b) for r in rows}
+    want = {tuple(sorted((s, "mirror-of-" + s))) for s in sources}
+    assert got == want
+    for r in rows:
+        assert r.overlap == 1.0  # a mirror is a complete subset
+        assert r.shared_docs >= 3
