@@ -148,3 +148,48 @@ def test_mirror_detect_flags_every_synthetic_mirror_and_nothing_else(spark):
     for r in rows:
         assert r.overlap == 1.0  # a mirror is a complete subset
         assert r.shared_docs >= 3
+
+
+def test_span_kind_closed_form_matches_direct_count(spark):
+    """_span_kind_counts' arithmetic (used by q_interleaved_pack and
+    q_span_reconstruct to avoid exploding the token array) equals
+    direct per-index counting for every n in 1..200."""
+    df = spark.range(1, 201).select(F.col("id").cast("int").alias("n"))
+    from sitecrawler_spark.queries import _span_kind_counts
+
+    n_anchor, n_media = _span_kind_counts(F.col("n"))
+    got = {
+        r.n: (r.a, r.m)
+        for r in df.select("n", n_anchor.alias("a"), n_media.alias("m")).collect()
+    }
+    for n in range(1, 201):
+        a = sum(1 for i in range(n) if i % 5 == 0)
+        m = sum(1 for i in range(n) if i % 5 != 0 and i % 7 == 0)
+        assert got[n] == (a, m), n
+
+
+def test_hist_quantile_error_bounded_by_bin_width(spark):
+    """Histogram-sketch estimates sit within one bin width of the
+    exact percentile for an arbitrary (deterministic pseudo-random)
+    value distribution, across several quantiles."""
+    from sitecrawler_spark.kernel.urls_spark import portable_hash64
+    from sitecrawler_spark.sketches import hist_build, hist_quantiles
+
+    lo, hi, nb = 0.0, 1000.0, 128
+    width = (hi - lo) / nb
+    vals = spark.range(5000).select(
+        (F.pmod(portable_hash64(F.col("id").cast("string")), 100000)
+         / 100.0).alias("v")
+    )
+    h = hist_build(vals, "v", lo, hi, nb)
+    est = hist_quantiles(
+        h, [("p10", 10, 100), ("p50", 50, 100), ("p95", 95, 100)],
+        lo, hi, nb,
+    ).collect()[0]
+    exact = vals.agg(
+        F.expr("percentile(v, 0.10)").alias("p10"),
+        F.expr("percentile(v, 0.50)").alias("p50"),
+        F.expr("percentile(v, 0.95)").alias("p95"),
+    ).collect()[0]
+    for q in ("p10", "p50", "p95"):
+        assert abs(getattr(est, q) - getattr(exact, q)) <= width + 1e-9, q
