@@ -187,6 +187,66 @@ entirely the sandbox silicon. On a real 4N-executor cluster each
 executor brings its own cores at full clock, which is the regime the
 >=0.8 criterion describes.
 """
+    # Persist this sample and render EVERY recorded sample: the ceiling
+    # probe swings with the VM's burst-credit state, so a single pairing
+    # misleads — each run's engine measurement must be read against the
+    # ceiling probed in the SAME run (r2/r3 driver numbers were
+    # load-contaminated; two r4 samples six minutes apart measured
+    # ceilings 0.815 and 0.674).
+    import glob
+
+    existing = sorted(glob.glob(os.path.join(HERE, "scaling_run*.json")))
+    with open(os.path.join(HERE, f"scaling_run{len(existing) + 1}.json"),
+              "w") as f:
+        json.dump(result, f)
+    samples = []
+    for p in sorted(glob.glob(os.path.join(HERE, "scaling_run*.json"))):
+        try:
+            with open(p) as f:
+                samples.append(json.load(f))
+        except Exception:
+            pass
+    md += """
+## Measurement variance (every recorded protocol sample)
+
+The sandbox CPU is burstable: the pure-CPU md5 ceiling itself swings
+run-to-run, so each protocol run pairs the engine measurement with a
+ceiling probe taken in the SAME run. All committed samples:
+
+| sample | engine raw eff | md5 ceiling eff | machine-normalized |
+|---|---|---|---|
+"""
+    for i, s in enumerate(samples, 1):
+        md += (
+            f"| run {i} | {s['scaling_efficiency_8_to_32']:.3f} "
+            f"| {s['hw_ceiling_efficiency_8_to_32']:.3f} "
+            f"| {s['machine_normalized_efficiency']} |\n"
+        )
+    raws = [s["scaling_efficiency_8_to_32"] for s in samples]
+    md += f"""
+Engine raw efficiency is the stable quantity ({min(raws):.3f}-{max(raws):.3f}
+across samples; 0.617 in round 3); the ceiling probe varies with the
+VM's burst-credit state. Per-run JSONs are committed alongside.
+
+## Input-size scaling (round 3, local[32], same plan)
+
+Frontier dequeue+dedup throughput as the frontier grows 4x at fixed
+cores (fresh warm session, RAM-backed shuffle, 64 shuffle partitions;
+256 partitions measured within noise of 64):
+
+| frontier rows | sec | URLs/s |
+|---|---|---|
+| 8,000,000  | 20.9  | 383,561 |
+| 32,000,000 | 109.7 | 291,596 |
+
+Throughput holds within ~24% over a 4x size step at FIXED cores — the
+residual slope is the n*log n sort terms in the SortMergeJoin +
+dedup-window stages plus memory-hierarchy pressure, not a plan change
+(verified: same physical plan at both sizes). On a real cluster the
+north-rule regime scales executors WITH data, keeping per-executor
+rows constant — the relevant evidence for that axis is the
+parallelism-scaling table above.
+"""
     with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps(result))
