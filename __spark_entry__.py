@@ -87,7 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_meta": _queries.q_media_meta,
         "q_ann_kmeans": _queries.q_ann_kmeans,
         "q_text_features": _queries.q_text_features,
-        "q_ann_ivf": _queries.q_ann_ivf,
+        "q_ann_ivfpq": _queries.q_ann_ivfpq,
         "q_ann_pq": _queries.q_ann_pq,
         "q_embed_neardup": _queries.q_embed_neardup,
         "q_dedup_clusters": _queries.q_dedup_clusters,
@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_signature": _queries.q_minhash_signature,  # ⊂ minhash_pairs
         "q_simhash": _queries.q_simhash,               # ⊂ q_simhash_pairs
         "q_ann_bruteforce": _queries.q_ann_bruteforce,  # ⊂ q_ann_lsh_multi recall base
+        "q_ann_ivf": _queries.q_ann_ivf,               # coarse assign/probe ⊂ q_ann_ivfpq (exact-rerank tail ⊂ q_ann_bruteforce)
         "q_ann_lsh": _queries.q_ann_lsh,               # ⊂ q_ann_lsh_multi
         "q_events_hourly": _queries.q_events_hourly,   # ⊂ q_events_rollup
         "q_word_freq": _queries.q_word_freq,           # ⊂ q_tfidf_topterms
@@ -155,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_hits"] = _oracles.hits_oracle()
     out["q_ann_kmeans"] = _oracles.ann_kmeans_oracle()
     out["q_ann_pq"] = _oracles.ann_pq_oracle()
+    out["q_ann_ivfpq"] = _oracles.ann_ivfpq_oracle()
     out["q_opic"] = _oracles.opic_oracle()
     out["q_url_trap_score"] = _oracles.url_trap_score_oracle()
     out["q_sitemap_parse"] = _oracles.sitemap_parse_oracle()

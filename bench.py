@@ -303,7 +303,8 @@ def main() -> None:
                  "q_zorder_key", "q_weighted_sample", "q_bpe_train",
                  "q_span_reconstruct", "q_interleaved_pack",
                  "q_boilerplate_strip", "q_pii_redact",
-                 "q_quantile_sketch", "q_anchor_index", "q_mirror_detect"):
+                 "q_quantile_sketch", "q_anchor_index", "q_mirror_detect",
+                 "q_ann_ivfpq"):
         pipeline[name] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )

@@ -457,6 +457,55 @@ def pq_train_codebooks(
     return cb
 
 
+def _pq_encode(
+    corpus: DataFrame,
+    cb_sub: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m_sub: int,
+) -> DataFrame:
+    """PQ codes (neighbor_id, code0..code{M-1}): nearest codeword per
+    (corpus row, subspace) — argmin L2, ties to the smaller cid (≡ the
+    oracle's ORDER BY d, cid LIMIT 1). (d, cid) packs into ONE long —
+    round(d·1e6)·256 + cid — so the argmin is a plain min(long) with a
+    primitive buffer: HashAggregate with map-side partial combine,
+    shuffling N group rows instead of N×k_cent window rows (VERDICT
+    r03 #3). Packing is order-exact: rounded d's are integer multiples
+    of 1e-6, so distinct d's differ by ≥ 256 after ·1e6·256, dominating
+    any cid < 256."""
+    dsub = dim // m_sub
+    vec_d = F.col(vec_col).cast("array<double>")
+    d6 = _l2sq6(
+        F.slice("nvec", F.col("m") * dsub + 1, F.lit(dsub)), F.col("cv")
+    )
+    packed = (
+        F.round(d6 * F.lit(1e6)).cast("long") * F.lit(256)
+        + F.col("cid").cast("long")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_d.alias("nvec"))
+        .join(F.broadcast(cb_sub))
+        .select("neighbor_id", "m", packed.alias("_dc"))
+    )
+    return (
+        scored.groupBy("neighbor_id")
+        .agg(
+            *[
+                F.min(F.when(F.col("m") == m, F.col("_dc"))).alias(f"_s{m}")
+                for m in range(m_sub)
+            ]
+        )
+        .select(
+            "neighbor_id",
+            *[
+                (F.col(f"_s{m}") % 256).cast("int").alias(f"code{m}")
+                for m in range(m_sub)
+            ],
+        )
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -494,43 +543,7 @@ def pq_topk(
             corpus, id_col, vec_col, dim, m_sub, k_cent, stride
         )
     )
-
-    # encode: nearest codeword per (corpus row, subspace) — argmin L2,
-    # ties to the smaller cid (≡ the oracle's ORDER BY d, cid LIMIT 1).
-    # (d, cid) packs into ONE long — round(d·1e6)·256 + cid — so the
-    # argmin is a plain min(long) with a primitive buffer: HashAggregate
-    # with map-side partial combine, shuffling N group rows instead of
-    # N×k_cent window rows (VERDICT r03 #3). Packing is order-exact:
-    # rounded d's are integer multiples of 1e-6, so distinct d's differ
-    # by ≥ 256 after ·1e6·256, dominating any cid < 256.
-    d6 = _l2sq6(
-        F.slice("nvec", F.col("m") * dsub + 1, F.lit(dsub)), F.col("cv")
-    )
-    packed = (
-        F.round(d6 * F.lit(1e6)).cast("long") * F.lit(256)
-        + F.col("cid").cast("long")
-    )
-    scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), vec_d.alias("nvec"))
-        .join(F.broadcast(cb_sub))
-        .select("neighbor_id", "m", packed.alias("_dc"))
-    )
-    codes = (
-        scored.groupBy("neighbor_id")
-        .agg(
-            *[
-                F.min(F.when(F.col("m") == m, F.col("_dc"))).alias(f"_s{m}")
-                for m in range(m_sub)
-            ]
-        )
-        .select(
-            "neighbor_id",
-            *[
-                (F.col(f"_s{m}") % 256).cast("int").alias(f"code{m}")
-                for m in range(m_sub)
-            ],
-        )
-    )
+    codes = _pq_encode(corpus, cb_sub, id_col, vec_col, dim, m_sub)
 
     # per-subspace ADC lookup tables: (query_id, cid, t_m) — probes ×
     # k_cent rows each, all tiny broadcasts
@@ -651,6 +664,120 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m_sub: int = 4,
+    k_cent: int = 8,
+    stride: int = 61,
+    k: int = 5,
+    centroid_stride: int = 25,
+    n_probe: int = 3,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou, Douze & Schmid TPAMI 2011 §V — the
+    FAISS ``IVFPQ`` index with ``by_residual=False``): a coarse
+    quantizer restricts the search to the ``n_probe`` inverted lists
+    nearest each probe, and candidates inside those lists are scored by
+    PQ Asymmetric Distance instead of exact dot products — the memory
+    AND compute scale path for billion-vector ANN (exact rerank of the
+    ADC shortlist is ``pq_topk``-style downstream work).
+
+    Deterministic throughout: sampled coarse centroids
+    (``id % centroid_stride``) and stride-sampled PQ codebooks, so the
+    independent SQL oracle reproduces results bit-for-bit. With
+    ``n_probe`` ≥ the list count this degrades exactly to ``pq_topk``
+    (pinned by test). Distributed shape: centroids AND codebooks are
+    tiny broadcasts; coarse assignment + PQ encode are both min/max-
+    struct aggregations with map-side combine (shuffle = N rows each);
+    the candidate join keys on centroid_id (list-sized buckets); ADC is
+    map-side; the only other shuffle is the per-probe top-k window —
+    search cost is |probes| × (n_probe/C) × N, the IVF contract."""
+    cent = corpus.filter(
+        (F.col(id_col) % centroid_stride) == 0
+    ).select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+
+    def nearest(df: DataFrame, n: int) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).join(F.broadcast(cent)).select(
+            "id", "centroid_id",
+            F.round(cosine_sim(F.col("vec"), F.col("cvec")), 6).alias("csim"),
+        )
+        if n == 1:
+            return scored.groupBy("id").agg(
+                F.expr(
+                    "max_by(centroid_id, struct(csim, -centroid_id))"
+                ).alias("centroid_id")
+            )
+        w = Window.partitionBy("id").orderBy(
+            F.col("csim").desc(), F.col("centroid_id")
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n)
+            .select("id", "centroid_id")
+        )
+
+    cb_sub = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks_sampled(
+            corpus, id_col, vec_col, dim, m_sub, k_cent, stride
+        )
+    )
+    codes = _pq_encode(corpus, cb_sub, id_col, vec_col, dim, m_sub).join(
+        nearest(corpus, 1).withColumnRenamed("id", "neighbor_id"),
+        "neighbor_id",
+    )
+    probe_lists = nearest(probes, n_probe).withColumnRenamed(
+        "id", "query_id"
+    )
+    cand = codes.join(F.broadcast(probe_lists), "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    # per-subspace ADC lookup tables (probes × k_cent rows, broadcast);
+    # every join constrains on (query_id, code_m) — candidates only,
+    # never the full corpus × probe cross of the flat-PQ path
+    dsub = dim // m_sub
+    vec_d = F.col(vec_col).cast("array<double>")
+    q = probes.select(F.col(id_col).alias("query_id"), vec_d.alias("qvec"))
+    out = cand
+    for m in range(m_sub):
+        tab_m = q.crossJoin(
+            F.broadcast(cb_sub.filter(F.col("m") == m))
+        ).select(
+            F.col("query_id").alias(f"_q{m}"),
+            F.col("cid").alias(f"_c{m}"),
+            _dot6(F.slice("qvec", m * dsub + 1, dsub), F.col("cv")).alias(
+                f"t{m}"
+            ),
+        )
+        out = out.join(
+            F.broadcast(tab_m),
+            (out["query_id"] == tab_m[f"_q{m}"])
+            & (out[f"code{m}"] == tab_m[f"_c{m}"]),
+        ).drop(f"_q{m}", f"_c{m}")
+    # EXPLICIT left-associated sum so the SQL oracle's t0+t1+t2+t3 is
+    # bit-identical
+    adc = F.col("t0")
+    for m in range(1, m_sub):
+        adc = adc + F.col(f"t{m}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.col("neighbor_id")
+    )
+    return (
+        out.withColumn("adc", F.round(adc, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
     )
 
 

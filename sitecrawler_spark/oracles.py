@@ -1416,6 +1416,103 @@ SELECT query_id, neighbor_id, rank, adc FROM r WHERE rank <= {k}
     )
 
 
+def ann_ivfpq_oracle(
+    dim: int = 64, m_sub: int = 4, k_cent: int = 8, stride: int = 61,
+    k: int = 5, centroid_stride: int = 25, n_probe: int = 3,
+) -> str:
+    """Generated oracle for q_ann_ivfpq: IVFADC mirrored in DuckDB —
+    the q_ann_ivf oracle's coarse assign/probe CTEs compose with the
+    q_ann_pq oracle's codebook/encode/ADC CTEs; candidates are the
+    probed inverted lists only. Same element-ordered sums, same
+    explicit left-associated ADC total, bit-identical."""
+    dsub = dim // m_sub
+
+    def l2(off: int) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {dsub + 1}), i -> "
+            f"((e.embedding[{off} + i])::DOUBLE - c.cvec[{off} + i]) * "
+            f"((e.embedding[{off} + i])::DOUBLE - c.cvec[{off} + i]))), 6)"
+        )
+
+    def dot(off: int) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {dsub + 1}), i -> "
+            f"(q.embedding[{off} + i])::DOUBLE * c.cvec[{off} + i])), 6)"
+        )
+
+    ctes = [f"""cb AS (
+  SELECT cid, cvec FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id % {stride} = 0) s
+  WHERE cid < {k_cent}
+)""", f"""cent AS (
+  SELECT vec_id AS centroid_id, embedding AS ccvec
+  FROM embeddings WHERE vec_id % {centroid_stride} = 0
+)""", """cscored AS (
+  SELECT e.vec_id AS id, c.centroid_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.ccvec::DOUBLE[]), 6) AS csim
+  FROM embeddings e, cent c
+)""", """assign AS (
+  SELECT id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY csim DESC, centroid_id) AS r
+    FROM cscored) WHERE r = 1
+)""", f"""probe AS (
+  SELECT id AS query_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY csim DESC, centroid_id) AS r
+    FROM cscored WHERE id < 10) WHERE r <= {n_probe}
+)"""]
+    for m in range(m_sub):
+        off = m * dsub
+        ctes.append(f"""enc{m} AS (
+  SELECT vec_id, cid AS code{m} FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+    FROM (
+      SELECT e.vec_id, c.cid, {l2(off)} AS d
+      FROM embeddings e, cb c) s1) s2
+  WHERE r = 1
+)""")
+        ctes.append(f"""tab{m} AS (
+  SELECT q.vec_id AS query_id, c.cid, {dot(off)} AS t
+  FROM embeddings q, cb c WHERE q.vec_id < 10
+)""")
+    codes_join = " JOIN ".join(
+        ["enc0"] + [f"enc{m} USING (vec_id)" for m in range(1, m_sub)]
+    )
+    tab_joins = "\n  ".join(
+        f"JOIN tab{m} t{m} ON t{m}.query_id = p.query_id "
+        f"AND t{m}.cid = e.code{m}"
+        for m in range(m_sub)
+    )
+    adc = " + ".join(f"t{m}.t" for m in range(m_sub))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+codes AS (SELECT * FROM {codes_join}),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id, {adc} AS adc
+  FROM codes e
+  JOIN assign a ON a.id = e.vec_id
+  JOIN probe p ON p.centroid_id = a.centroid_id
+  {tab_joins}
+  WHERE p.query_id <> e.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, round(adc, 6) AS adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, adc FROM r WHERE rank <= {k}
+"""
+    )
+
+
 def crawl_e2e_oracle() -> str:
     """Oracle for q_crawl_e2e: run the single-threaded reference model
     (pure Python, no Spark) over the same deterministic site and emit

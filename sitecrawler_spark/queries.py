@@ -1346,6 +1346,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, probes, k=5, centroid_stride=25, n_probe=3)
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (IVFADC): coarse inverted lists (vec_id % 25
+    centroids, 3-probe) restrict the search set, PQ asymmetric distance
+    scores the candidates — the composed billion-vector scale path.
+    Deterministic sampled centroids AND codebooks, so the SQL oracle
+    mirrors bit-for-bit; degrades to exactly q_ann_pq when every list
+    is probed (test-pinned)."""
+    from sitecrawler_spark.dedup.ann import ivfpq_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: minhash-LSH candidate pairs → connected
     components (iterative min-label propagation) → canonical pick

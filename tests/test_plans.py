@@ -91,6 +91,31 @@ def test_ivf_broadcasts_centroids(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ivfpq_plan_shape(spark):
+    """IVFADC plan pins: every small side (centroids, codebooks, probe
+    lists, ADC tables) rides a BroadcastExchange — the only
+    BroadcastNestedLoopJoins are the intentional corpus×tiny-broadcast
+    cross joins (8-row codebooks / 20-row centroids; same shape the
+    gated IVF and PQ plans use), never a big×big pairing; the candidate
+    restriction joins on centroid_id as a BroadcastHashJoin; the PQ
+    encode is a HashAggregate with map-side partial combine (shuffle =
+    N rows, VERDICT r03 #3); zero Python nodes, zero cartesians."""
+    df = Q.q_ann_ivfpq(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastExchange") >= 4, plan[:2000]
+    # candidate restriction: list-bucket equi-join, broadcast build
+    # (formatted explain keeps join keys in the detail section)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "Left keys [1]: [centroid_id" in plan, plan[:2000]
+    # PQ encode: partial+final min-aggregation, primitive buffer
+    # (formatted explain lists functions in the HashAggregate detail
+    # section, not on the tree line)
+    assert "partial_min(CASE WHEN" in plan, plan[:2000]
+    assert "HashAggregate" in plan
+
+
 def test_dedup_vector_queries_are_jvm_native(spark):
     for name in ["q_embed_neardup", "q_simhash_pairs", "q_doc_chunks",
                  "q_word_freq", "q_training_pipeline"]:

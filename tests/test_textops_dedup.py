@@ -527,6 +527,54 @@ def test_pq_trained_codebooks_improve_recall(spark):
     assert trained >= sampled, (trained, sampled)
 
 
+def test_ivfpq_all_lists_probed_equals_flat_pq(spark):
+    """IVFADC degradation law: with n_probe ≥ the inverted-list count
+    the candidate set is the whole corpus, so ivfpq_topk must equal
+    pq_topk row-for-row (same codebooks, same ADC, same tie rule) —
+    pins that the list restriction is the ONLY approximation IVF adds
+    on top of PQ. Also pins containment for a genuinely restricted
+    probe: every 3-probe result pair must appear in some probed list."""
+    from pyspark.sql import Window
+
+    from sitecrawler_spark.dedup.ann import ivfpq_topk, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    # 500 rows, stride 25 ⇒ 20 lists; n_probe=20 probes them all
+    full = sorted(
+        map(tuple, ivfpq_topk(emb, probes, k=5, n_probe=20).collect())
+    )
+    flat = sorted(map(tuple, pq_topk(emb, probes, k=5).collect()))
+    assert full == flat
+
+    restricted = ivfpq_topk(emb, probes, k=5, n_probe=3)
+    assert restricted.count() > 0
+    # every (query, neighbor) shares one of the query's 3 probed lists
+    from sitecrawler_spark.dedup.ann import cosine_sim
+
+    cent = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "centroid_id",
+        F.round(cosine_sim(F.col("embedding"), F.col("cvec")), 6).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), "centroid_id")
+    ranked = scored.withColumn("r", F.row_number().over(w))
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ranked.filter(F.col("r") == 1).collect()
+    }
+    probed: dict[int, set] = {}
+    for r in ranked.filter(
+        (F.col("r") <= 3) & (F.col("vec_id") < 10)
+    ).collect():
+        probed.setdefault(r["vec_id"], set()).add(r["centroid_id"])
+    for row in restricted.collect():
+        assert assigned[row["neighbor_id"]] in probed[row["query_id"]], row
+
+
 def test_winnowing_guarantee_and_specificity(spark):
     """Schleimer's winnowing bound: any shared word run of length >=
     k+w-1 (= 7 here) yields at least one shared fingerprint — and
