@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _queries.q_simhash,               # ⊂ q_simhash_pairs
         "q_ann_bruteforce": _queries.q_ann_bruteforce,  # ⊂ q_ann_lsh_multi recall base
         "q_ann_ivf": _queries.q_ann_ivf,               # coarse assign/probe ⊂ q_ann_ivfpq (exact-rerank tail ⊂ q_ann_bruteforce)
+        "q_ann_ivfpq_residual": _queries.q_ann_ivfpq_residual,  # residual refinement of q_ann_ivfpq (same machinery + exact coarse term)
         "q_ann_lsh": _queries.q_ann_lsh,               # ⊂ q_ann_lsh_multi
         "q_events_hourly": _queries.q_events_hourly,   # ⊂ q_events_rollup
         "q_word_freq": _queries.q_word_freq,           # ⊂ q_tfidf_topterms
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_ann_kmeans"] = _oracles.ann_kmeans_oracle()
     out["q_ann_pq"] = _oracles.ann_pq_oracle()
     out["q_ann_ivfpq"] = _oracles.ann_ivfpq_oracle()
+    out["q_ann_ivfpq_residual"] = _oracles.ann_ivfpq_oracle(by_residual=True)
     out["q_opic"] = _oracles.opic_oracle()
     out["q_url_trap_score"] = _oracles.url_trap_score_oracle()
     out["q_sitemap_parse"] = _oracles.sitemap_parse_oracle()

@@ -680,25 +680,40 @@ def ivfpq_topk(
     centroid_stride: int = 25,
     n_probe: int = 3,
     codebooks: DataFrame | None = None,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ (IVFADC, Jégou, Douze & Schmid TPAMI 2011 §V — the
-    FAISS ``IVFPQ`` index with ``by_residual=False``): a coarse
-    quantizer restricts the search to the ``n_probe`` inverted lists
-    nearest each probe, and candidates inside those lists are scored by
-    PQ Asymmetric Distance instead of exact dot products — the memory
-    AND compute scale path for billion-vector ANN (exact rerank of the
-    ADC shortlist is ``pq_topk``-style downstream work).
+    FAISS ``IVFPQ`` index): a coarse quantizer restricts the search to
+    the ``n_probe`` inverted lists nearest each probe, and candidates
+    inside those lists are scored by PQ Asymmetric Distance instead of
+    exact dot products — the memory AND compute scale path for
+    billion-vector ANN (exact rerank of the ADC shortlist is
+    ``pq_topk``-style downstream work).
+
+    ``by_residual=False``: codes quantize raw vectors, score = ADC.
+    ``by_residual=True`` (the FAISS default): codes quantize the
+    RESIDUAL vec − coarse_centroid, and the inner-product score
+    decomposes exactly as q·vec ≈ q·c_list + q·r̂ — the coarse term is
+    computed exactly from a probes×C broadcast table, so PQ error
+    applies only to the residual (lower-variance than the raw vector
+    when codebooks are trained on clustered data — the production
+    rationale; comparable on uniform-random vectors). Codebooks are
+    sampled from residuals; everything stays deterministic and
+    oracle-mirrorable, and a codebook-source row reconstructs exactly,
+    making its ADC equal the true q·vec up to 6dp rounding
+    (test-pinned).
 
     Deterministic throughout: sampled coarse centroids
     (``id % centroid_stride``) and stride-sampled PQ codebooks, so the
     independent SQL oracle reproduces results bit-for-bit. With
-    ``n_probe`` ≥ the list count this degrades exactly to ``pq_topk``
-    (pinned by test). Distributed shape: centroids AND codebooks are
-    tiny broadcasts; coarse assignment + PQ encode are both min/max-
-    struct aggregations with map-side combine (shuffle = N rows each);
-    the candidate join keys on centroid_id (list-sized buckets); ADC is
-    map-side; the only other shuffle is the per-probe top-k window —
-    search cost is |probes| × (n_probe/C) × N, the IVF contract."""
+    ``n_probe`` ≥ the list count the no-residual form degrades exactly
+    to ``pq_topk`` (pinned by test). Distributed shape: centroids AND
+    codebooks are tiny broadcasts; coarse assignment + PQ encode are
+    both min/max-struct aggregations with map-side combine (shuffle =
+    N rows each); the candidate join keys on centroid_id (list-sized
+    buckets); ADC is map-side; the only other shuffle is the per-probe
+    top-k window — search cost is |probes| × (n_probe/C) × N, the IVF
+    contract."""
     cent = corpus.filter(
         (F.col(id_col) % centroid_stride) == 0
     ).select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
@@ -725,15 +740,36 @@ def ivfpq_topk(
             .select("id", "centroid_id")
         )
 
+    assign = nearest(corpus, 1)
+    vec_d = F.col(vec_col).cast("array<double>")
+    if by_residual:
+        # residual frame: vec − assigned coarse centroid (exact double
+        # subtraction — element-wise, reproduced verbatim by the oracle)
+        enc_src = (
+            corpus.select(F.col(id_col).alias("id"), vec_d.alias("_v"))
+            .join(assign, "id")
+            .join(F.broadcast(cent), "centroid_id")
+            .select(
+                "id",
+                F.zip_with(
+                    "_v",
+                    F.col("cvec").cast("array<double>"),
+                    lambda a, b: a - b,
+                ).alias("_rv"),
+            )
+        )
+        enc_id, enc_vec = "id", "_rv"
+    else:
+        enc_src, enc_id, enc_vec = corpus, id_col, vec_col
     cb_sub = (
         codebooks
         if codebooks is not None
         else pq_codebooks_sampled(
-            corpus, id_col, vec_col, dim, m_sub, k_cent, stride
+            enc_src, enc_id, enc_vec, dim, m_sub, k_cent, stride
         )
     )
-    codes = _pq_encode(corpus, cb_sub, id_col, vec_col, dim, m_sub).join(
-        nearest(corpus, 1).withColumnRenamed("id", "neighbor_id"),
+    codes = _pq_encode(enc_src, cb_sub, enc_id, enc_vec, dim, m_sub).join(
+        assign.withColumnRenamed("id", "neighbor_id"),
         "neighbor_id",
     )
     probe_lists = nearest(probes, n_probe).withColumnRenamed(
@@ -747,9 +783,23 @@ def ivfpq_topk(
     # every join constrains on (query_id, code_m) — candidates only,
     # never the full corpus × probe cross of the flat-PQ path
     dsub = dim // m_sub
-    vec_d = F.col(vec_col).cast("array<double>")
     q = probes.select(F.col(id_col).alias("query_id"), vec_d.alias("qvec"))
     out = cand
+    if by_residual:
+        # exact coarse term q·c_list: a probes×C broadcast table keyed
+        # on (query_id, centroid_id) — the decomposition's exact half
+        qc = q.crossJoin(F.broadcast(cent)).select(
+            F.col("query_id").alias("_qq"),
+            F.col("centroid_id").alias("_qc"),
+            _dot6(
+                F.col("qvec"), F.col("cvec").cast("array<double>")
+            ).alias("tc"),
+        )
+        out = out.join(
+            F.broadcast(qc),
+            (out["query_id"] == qc["_qq"])
+            & (out["centroid_id"] == qc["_qc"]),
+        ).drop("_qq", "_qc")
     for m in range(m_sub):
         tab_m = q.crossJoin(
             F.broadcast(cb_sub.filter(F.col("m") == m))
@@ -765,10 +815,10 @@ def ivfpq_topk(
             (out["query_id"] == tab_m[f"_q{m}"])
             & (out[f"code{m}"] == tab_m[f"_c{m}"]),
         ).drop(f"_q{m}", f"_c{m}")
-    # EXPLICIT left-associated sum so the SQL oracle's t0+t1+t2+t3 is
-    # bit-identical
-    adc = F.col("t0")
-    for m in range(1, m_sub):
+    # EXPLICIT left-associated sum so the SQL oracle's (tc+)t0+t1+t2+t3
+    # is bit-identical
+    adc = F.col("tc") if by_residual else F.col("t0")
+    for m in range(0 if by_residual else 1, m_sub):
         adc = adc + F.col(f"t{m}")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.col("neighbor_id")

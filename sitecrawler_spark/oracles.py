@@ -1419,15 +1419,24 @@ SELECT query_id, neighbor_id, rank, adc FROM r WHERE rank <= {k}
 def ann_ivfpq_oracle(
     dim: int = 64, m_sub: int = 4, k_cent: int = 8, stride: int = 61,
     k: int = 5, centroid_stride: int = 25, n_probe: int = 3,
+    by_residual: bool = False,
 ) -> str:
-    """Generated oracle for q_ann_ivfpq: IVFADC mirrored in DuckDB —
-    the q_ann_ivf oracle's coarse assign/probe CTEs compose with the
-    q_ann_pq oracle's codebook/encode/ADC CTEs; candidates are the
-    probed inverted lists only. Same element-ordered sums, same
+    """Generated oracle for q_ann_ivfpq (and the by_residual variant):
+    IVFADC mirrored in DuckDB — the q_ann_ivf oracle's coarse
+    assign/probe CTEs compose with the q_ann_pq oracle's
+    codebook/encode/ADC CTEs; candidates are the probed inverted lists
+    only. by_residual quantizes vec − coarse_centroid and adds the
+    exact q·c_list coarse term. Same element-ordered sums, same
     explicit left-associated ADC total, bit-identical."""
     dsub = dim // m_sub
 
     def l2(off: int) -> str:
+        if by_residual:
+            return (
+                f"round(list_sum(list_transform(range(1, {dsub + 1}), i -> "
+                f"(e.rvec[{off} + i] - c.cvec[{off} + i]) * "
+                f"(e.rvec[{off} + i] - c.cvec[{off} + i]))), 6)"
+            )
         return (
             f"round(list_sum(list_transform(range(1, {dsub + 1}), i -> "
             f"((e.embedding[{off} + i])::DOUBLE - c.cvec[{off} + i]) * "
@@ -1440,13 +1449,31 @@ def ann_ivfpq_oracle(
             f"(q.embedding[{off} + i])::DOUBLE * c.cvec[{off} + i])), 6)"
         )
 
-    ctes = [f"""cb AS (
+    if by_residual:
+        cb_cte = f"""res AS (
+  SELECT e.vec_id, a.centroid_id,
+         list_transform(range(1, {dim + 1}), i ->
+           (e.embedding[i])::DOUBLE - (c.ccvec[i])::DOUBLE) AS rvec
+  FROM embeddings e
+  JOIN assign a ON a.id = e.vec_id
+  JOIN cent c ON c.centroid_id = a.centroid_id
+),
+cb AS (
+  SELECT cid, cvec FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           rvec AS cvec
+    FROM res WHERE vec_id % {stride} = 0) s
+  WHERE cid < {k_cent}
+)"""
+    else:
+        cb_cte = f"""cb AS (
   SELECT cid, cvec FROM (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
            embedding::DOUBLE[] AS cvec
     FROM embeddings WHERE vec_id % {stride} = 0) s
   WHERE cid < {k_cent}
-)""", f"""cent AS (
+)"""
+    ctes = [f"""cent AS (
   SELECT vec_id AS centroid_id, embedding AS ccvec
   FROM embeddings WHERE vec_id % {centroid_stride} = 0
 )""", """cscored AS (
@@ -1465,6 +1492,15 @@ def ann_ivfpq_oracle(
                                  ORDER BY csim DESC, centroid_id) AS r
     FROM cscored WHERE id < 10) WHERE r <= {n_probe}
 )"""]
+    ctes.append(cb_cte)
+    if by_residual:
+        ctes.append(f"""coarse AS (
+  SELECT q.vec_id AS query_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, {dim + 1}), i ->
+           (q.embedding[i])::DOUBLE * (c.ccvec[i])::DOUBLE)), 6) AS tc
+  FROM embeddings q, cent c WHERE q.vec_id < 10
+)""")
+    enc_src = "res e" if by_residual else "embeddings e"
     for m in range(m_sub):
         off = m * dsub
         ctes.append(f"""enc{m} AS (
@@ -1473,7 +1509,7 @@ def ann_ivfpq_oracle(
            row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
     FROM (
       SELECT e.vec_id, c.cid, {l2(off)} AS d
-      FROM embeddings e, cb c) s1) s2
+      FROM {enc_src}, cb c) s1) s2
   WHERE r = 1
 )""")
         ctes.append(f"""tab{m} AS (
@@ -1489,6 +1525,13 @@ def ann_ivfpq_oracle(
         for m in range(m_sub)
     )
     adc = " + ".join(f"t{m}.t" for m in range(m_sub))
+    coarse_join = ""
+    if by_residual:
+        adc = "cc.tc + " + adc
+        coarse_join = (
+            "JOIN coarse cc ON cc.query_id = p.query_id "
+            "AND cc.centroid_id = a.centroid_id\n  "
+        )
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -1499,7 +1542,7 @@ scored AS (
   FROM codes e
   JOIN assign a ON a.id = e.vec_id
   JOIN probe p ON p.centroid_id = a.centroid_id
-  {tab_joins}
+  {coarse_join}{tab_joins}
   WHERE p.query_id <> e.vec_id
 ),
 r AS (

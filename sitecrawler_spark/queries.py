@@ -1360,6 +1360,24 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10))
 
 
+def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with residual quantization (the FAISS by_residual
+    default): codes quantize vec − coarse_centroid and the score
+    decomposes as exact q·c_list + ADC(residual) — with trained
+    codebooks on clustered data the residual has lower variance than
+    the raw vector (the production rationale; on uniform-random test
+    vectors the variants are comparable). Deterministic end-to-end;
+    SQL oracle mirrors bit-for-bit; zero-quantization-error law on
+    codebook-source rows is test-pinned."""
+    from sitecrawler_spark.dedup.ann import ivfpq_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), by_residual=True
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: minhash-LSH candidate pairs → connected
     components (iterative min-label propagation) → canonical pick

@@ -575,6 +575,39 @@ def test_ivfpq_all_lists_probed_equals_flat_pq(spark):
         assert assigned[row["neighbor_id"]] in probed[row["query_id"]], row
 
 
+def test_ivfpq_residual_exact_on_codebook_rows(spark):
+    """Residual IVFADC zero-quantization-error law: a codebook-source
+    row's residual IS one of the codewords, so its reconstruction is
+    exact and its ADC must equal the true dot product q·v up to the
+    6dp roundings (≤ ~3e-6 over 6 rounded terms). Non-source rows must
+    show genuinely larger quantization error — proving the scores are
+    real ADC approximations, not exact dots in disguise."""
+    from sitecrawler_spark.dedup.ann import ivfpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    got = ivfpq_topk(
+        emb, probes, k=600, n_probe=20, by_residual=True
+    ).collect()
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    # first k_cent=8 stride-61 rows are the codebook sources
+    sources = sorted(v for v in vecs if v % 61 == 0)[:8]
+    src_errs, other_errs = [], []
+    for row in got:
+        true_dot = float(
+            vecs[row["query_id"]] @ vecs[row["neighbor_id"]]
+        )
+        e = abs(row["adc"] - true_dot)
+        (src_errs if row["neighbor_id"] in sources else other_errs).append(e)
+    assert src_errs and other_errs
+    assert max(src_errs) < 1e-5, max(src_errs)
+    assert max(other_errs) > 1e-3, max(other_errs)
+
+
 def test_winnowing_guarantee_and_specificity(spark):
     """Schleimer's winnowing bound: any shared word run of length >=
     k+w-1 (= 7 here) yields at least one shared fingerprint — and
