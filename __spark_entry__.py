@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_bruteforce": _queries.q_ann_bruteforce,  # ⊂ q_ann_lsh_multi recall base
         "q_ann_ivf": _queries.q_ann_ivf,               # coarse assign/probe ⊂ q_ann_ivfpq (exact-rerank tail ⊂ q_ann_bruteforce)
         "q_ann_ivfpq_residual": _queries.q_ann_ivfpq_residual,  # residual refinement of q_ann_ivfpq (same machinery + exact coarse term)
+        "q_bm25": _queries.q_bm25,                     # retrieval scoring: tf/df/dl shapes ⊂ q_inverted_index + q_lm_score; integer-exact rank sums
         "q_ann_lsh": _queries.q_ann_lsh,               # ⊂ q_ann_lsh_multi
         "q_events_hourly": _queries.q_events_hourly,   # ⊂ q_events_rollup
         "q_word_freq": _queries.q_word_freq,           # ⊂ q_tfidf_topterms

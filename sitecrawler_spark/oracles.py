@@ -797,6 +797,52 @@ FROM tok GROUP BY word
 """
 
 
+ORACLES["q_bm25"] = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+tok AS (SELECT doc_id, word FROM t WHERE word <> ''),
+tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl
+),
+q(query_id, word) AS (VALUES
+  (1, 'join'), (1, 'filter'), (1, 'window'),
+  (2, 'stream'), (2, 'batch'), (2, 'merge'),
+  (3, 'slow'), (3, 'query'), (3, 'scan')),
+tfq AS (
+  SELECT q.query_id, tf.doc_id, tf.word, tf.tf FROM tf JOIN q USING (word)
+),
+dfq AS (
+  SELECT word, count(DISTINCT doc_id)::BIGINT AS df FROM tfq GROUP BY 1
+),
+scored AS (
+  SELECT tfq.query_id, tfq.doc_id,
+         round(ln(1.0 + ((s.n_docs - dfq.df) + 0.5) / (dfq.df + 0.5))
+               * tfq.tf * 2.2
+               / (tfq.tf + 1.2 * (0.25 + 0.75 *
+                    (dl.dl / (s.sum_dl::DOUBLE / s.n_docs))))
+               * 1e6)::BIGINT AS ti
+  FROM tfq JOIN dfq USING (word) JOIN dl USING (doc_id), stats s
+),
+agg AS (
+  SELECT query_id, doc_id, sum(ti)::BIGINT AS score_i
+  FROM scored GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id,
+         round(score_i::DOUBLE / 1000000.0, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_i DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 10
+"""
+
+
 ORACLES["q_lm_score"] = """
 WITH t AS (
   SELECT doc_id,

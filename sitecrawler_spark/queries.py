@@ -1219,6 +1219,26 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed deterministic retrieval queries over the synthetic vocabulary
+BM25_QUERIES = {
+    1: ["join", "filter", "window"],
+    2: ["stream", "batch", "merge"],
+    3: ["slow", "query", "scan"],
+}
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009; Lucene idf
+    variant) — top-10 documents per term query. Per-term scores are
+    integer-scaled before the per-(query, doc) sum so ranking is exact
+    across engines (no float-summation-order hazard)."""
+    from sitecrawler_spark.textops.functions import bm25_topk
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return bm25_topk(docs, BM25_QUERIES)
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model quality scoring (perplexity-proxy document
     filtering): corpus bigram/unigram counts with add-one smoothing

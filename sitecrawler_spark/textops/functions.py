@@ -217,3 +217,85 @@ def mean_word_len(c: Column) -> Column:
         / F.greatest(F.size(toks), F.lit(1)).cast("double"),
         6,
     )
+
+
+def bm25_topk(
+    docs,
+    query_terms: dict[int, list[str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+):
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009, the Lucene
+    `1 + (N-df+0.5)/(df+0.5)` idf variant): score every document
+    against a set of term queries, return the top-``k`` per query.
+
+    Cross-engine exactness: each per-term score is scaled to a BIGINT
+    (round(term·1e6)) BEFORE the per-(query, doc) sum, so the
+    aggregation is integer-exact and order-free — float summation
+    order can never flip a rank between Spark and the oracle.
+
+    Distributed shape: ONE tokenize scan feeds tf (doc, word) and
+    doc-length aggregations (both map-side combined); the query-term
+    table and the 1-row (N, avgdl) stats ride broadcasts; df for the
+    ≤|Q| query words is computed AFTER the tf×queries join, so the
+    full-vocabulary df never materializes. Shuffles: tf groupBy,
+    dl groupBy, final (query, doc) sum + top-k window — all keyed,
+    no skew (query words fan out ≤|Q| rows per doc)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "word"
+        ),
+    ).filter(F.col("word") != "")
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in sorted(query_terms.items()) for w in ws],
+        "query_id int, word string",
+    )
+    tfq = tf.join(F.broadcast(qterms), "word")
+    dfq = tfq.groupBy("word").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = (
+        tfq.join(F.broadcast(dfq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    den = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)
+    )
+    term_i = F.round(
+        idf * F.col("tf") * F.lit(k1 + 1.0) / den * F.lit(1e6)
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_i"), F.col("doc_id")
+    )
+    return (
+        scored.select("query_id", "doc_id", term_i.alias("ti"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("ti").alias("score_i"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.round(F.col("score_i").cast("double") / F.lit(1e6), 6).alias(
+                "score"
+            ),
+        )
+    )
