@@ -70,7 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seen_antijoin": _queries.q_seen_antijoin,
         "q_anchor_index": _queries.q_anchor_index,
         "q_error_dispatch": _queries.q_error_dispatch,
-        "q_lineitem_pricing": _queries.q_lineitem_pricing,
+        "q_bm25": _queries.q_bm25,
         "q_quantile_sketch": _queries.q_quantile_sketch,
         "q_span_reconstruct": _queries.q_span_reconstruct,
         "q_interleaved_pack": _queries.q_interleaved_pack,
@@ -132,7 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_bruteforce": _queries.q_ann_bruteforce,  # ⊂ q_ann_lsh_multi recall base
         "q_ann_ivf": _queries.q_ann_ivf,               # coarse assign/probe ⊂ q_ann_ivfpq (exact-rerank tail ⊂ q_ann_bruteforce)
         "q_ann_ivfpq_residual": _queries.q_ann_ivfpq_residual,  # residual refinement of q_ann_ivfpq (same machinery + exact coarse term)
-        "q_bm25": _queries.q_bm25,                     # retrieval scoring: tf/df/dl shapes ⊂ q_inverted_index + q_lm_score; integer-exact rank sums
+        "q_lineitem_pricing": _queries.q_lineitem_pricing,  # generic scan→agg pushdown shape ⊂ q_events_rollup/q_orders_top_customers (still bench HEADLINE)
         "q_ann_lsh": _queries.q_ann_lsh,               # ⊂ q_ann_lsh_multi
         "q_events_hourly": _queries.q_events_hourly,   # ⊂ q_events_rollup
         "q_word_freq": _queries.q_word_freq,           # ⊂ q_tfidf_topterms
