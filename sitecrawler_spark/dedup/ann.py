@@ -681,6 +681,7 @@ def ivfpq_topk(
     n_probe: int = 3,
     codebooks: DataFrame | None = None,
     by_residual: bool = False,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ (IVFADC, Jégou, Douze & Schmid TPAMI 2011 §V — the
     FAISS ``IVFPQ`` index): a coarse quantizer restricts the search to
@@ -714,9 +715,14 @@ def ivfpq_topk(
     buckets); ADC is map-side; the only other shuffle is the per-probe
     top-k window — search cost is |probes| × (n_probe/C) × N, the IVF
     contract."""
-    cent = corpus.filter(
-        (F.col(id_col) % centroid_stride) == 0
-    ).select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+    # coarse quantizer: deterministic corpus sample by default, or a
+    # trained table (e.g. kmeans_centroids output) — the FAISS pattern
+    # of passing a trained coarse quantizer into the IVFPQ index
+    if centroids is None:
+        centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
 
     def nearest(df: DataFrame, n: int) -> DataFrame:
         scored = df.select(

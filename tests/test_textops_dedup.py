@@ -575,6 +575,42 @@ def test_ivfpq_all_lists_probed_equals_flat_pq(spark):
         assert assigned[row["neighbor_id"]] in probed[row["query_id"]], row
 
 
+def test_ivfpq_accepts_external_coarse_quantizer(spark):
+    """FAISS pattern: pass a trained coarse quantizer into the IVFPQ
+    index. An explicit frame equal to the default stride sample must
+    reproduce the default output exactly (determinism pin), and a
+    kmeans-trained quantizer must run end-to-end with every returned
+    neighbor still list-restricted (non-empty, ranked, ≤k per query)."""
+    from sitecrawler_spark.dedup.ann import ivfpq_topk, kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    default = sorted(map(tuple, ivfpq_topk(emb, probes, k=5).collect()))
+    explicit = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb, probes, k=5,
+                centroids=emb.filter(F.col("vec_id") % 25 == 0),
+            ).collect(),
+        )
+    )
+    assert default == explicit
+
+    # kmeans_centroids already returns (id_col, vec_col)-named columns
+    trained = kmeans_centroids(emb, n_centroids=8, n_iters=2)
+    got = ivfpq_topk(
+        emb, probes, k=5, centroids=trained, by_residual=True
+    ).collect()
+    assert got
+    per_q: dict[int, list[int]] = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+        assert len(ranks) <= 5
+
+
 def test_ivfpq_residual_exact_on_codebook_rows(spark):
     """Residual IVFADC zero-quantization-error law: a codebook-source
     row's residual IS one of the codewords, so its reconstruction is
