@@ -252,7 +252,9 @@ def bm25_topk(
         ),
     ).filter(F.col("word") != "")
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # doc length = Σ tf — derived from the (much smaller) tf frame so
+    # the corpus is tokenized ONCE, not re-scanned for lengths
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
