@@ -234,6 +234,42 @@ def test_three_way_equivalence(spark):
         assert row["excl_native"] == exp_excl, f"excl {u!r}"
 
 
+def test_registered_sql_udfs_match_kernel(spark):
+    """register_udfs exposes the batch kernels as session SQL functions
+    (the north star's 'registered pandas/Arrow UDFs' plugin surface):
+    plain-SQL calls must return byte-identical results to the scalar
+    reference kernel on the random corpus, including the clean-url
+    quirks bound at registration time."""
+    from sitecrawler_spark.register import register_udfs
+
+    urls = _random_urls()
+    params = ["a", "c"]
+    names = register_udfs(spark, allowed_parameters=params)
+    assert names == ["sc_clean_url", "sc_url_host", "sc_urljoin"]
+    spark.createDataFrame(
+        [(u,) for u in urls], ["url"]
+    ).createOrReplaceTempView("_reg_urls")
+    rows = spark.sql(
+        "SELECT url, sc_clean_url(url) AS c, sc_url_host(url) AS h, "
+        "sc_urljoin('http://www.salesforce.com/a/b', url) AS j "
+        "FROM _reg_urls"
+    ).collect()
+    from sitecrawler_spark.kernel.urls_pd import urljoin_series
+    import pandas as pd
+
+    base = "http://www.salesforce.com/a/b"
+    exp_j = urljoin_series(
+        pd.Series([base] * len(urls)), pd.Series(urls, dtype="string")
+    )
+    exp_j = {u: (None if v is pd.NA or v is None else v)
+             for u, v in zip(urls, exp_j)}
+    for row in rows:
+        u = row["url"]
+        assert row["c"] == urls_py.clean_url(u, params, True), f"clean {u!r}"
+        assert row["h"] == urls_py.url_host(u), f"host {u!r}"
+        assert row["j"] == exp_j[u], f"join {u!r}"
+
+
 def test_portable_hash_matches_duckdb(spark):
     import duckdb
 
