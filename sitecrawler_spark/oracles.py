@@ -1383,6 +1383,53 @@ FROM est
 """
 
 
+ORACLES["q_hll_merge_rollup"] = """
+WITH u AS (
+  SELECT DISTINCT event_type, event_id::VARCHAR AS u FROM events
+),
+hv AS (
+  SELECT event_type,
+         (('0x' || substr(md5(u), 1, 15))::BIGINT >> 54) AS bucket,
+         ((('0x' || substr(md5(u), 1, 15))::BIGINT & 18014398509481983) >> 38) AS v
+  FROM u
+),
+regs AS (
+  SELECT event_type, bucket,
+         max((CASE WHEN v >= 32768 THEN 1 WHEN v >= 16384 THEN 2 WHEN v >= 8192 THEN 3 WHEN v >= 4096 THEN 4 WHEN v >= 2048 THEN 5 WHEN v >= 1024 THEN 6 WHEN v >= 512 THEN 7 WHEN v >= 256 THEN 8 WHEN v >= 128 THEN 9 WHEN v >= 64 THEN 10 WHEN v >= 32 THEN 11 WHEN v >= 16 THEN 12 WHEN v >= 8 THEN 13 WHEN v >= 4 THEN 14 WHEN v >= 2 THEN 15 WHEN v >= 1 THEN 16 ELSE 17 END)) AS reg
+  FROM hv GROUP BY event_type, bucket
+),
+merged AS (
+  SELECT bucket, max(reg) AS reg FROM regs GROUP BY bucket
+),
+agg_t AS (
+  SELECT event_type, sum(power(2.0, -reg)) AS s, count(*) AS nonzero
+  FROM regs GROUP BY event_type
+),
+agg_m AS (
+  SELECT sum(power(2.0, -reg)) AS s, count(*) AS nonzero FROM merged
+),
+est_t AS (
+  SELECT event_type AS scope,
+         CASE WHEN (2905.460551022604) / (s + (64 - nonzero)) <= 160.0
+              AND (64 - nonzero) > 0
+         THEN 64.0 * ln(64.0 / (64 - nonzero))
+         ELSE (2905.460551022604) / (s + (64 - nonzero)) END AS e
+  FROM agg_t
+),
+est_m AS (
+  SELECT 'ALL' AS scope,
+         CASE WHEN (2905.460551022604) / (s + (64 - nonzero)) <= 160.0
+              AND (64 - nonzero) > 0
+         THEN 64.0 * ln(64.0 / (64 - nonzero))
+         ELSE (2905.460551022604) / (s + (64 - nonzero)) END AS e
+  FROM agg_m
+)
+SELECT scope, round(e, 4) AS est FROM est_t
+UNION ALL
+SELECT scope, round(e, 4) AS est FROM est_m
+"""
+
+
 def ann_pq_oracle(
     dim: int = 64, m_sub: int = 4, k_cent: int = 8, stride: int = 61,
     k: int = 5,

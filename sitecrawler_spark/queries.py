@@ -791,6 +791,38 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra rollup: per-event-type distinct-user HLL sketches,
+    PLUS a global estimate computed by MERGING the per-type register
+    tables (max per bucket) — never rescanning the events table. This
+    is the property that makes sketches the 100-TB answer: partial
+    sketches from partitions/batches/stream epochs combine exactly
+    (merged registers ≡ direct-build registers, test-pinned). Output:
+    (scope, est) — one row per event_type + an 'ALL' row from the
+    merge."""
+    from sitecrawler_spark.sketches import (
+        hll_estimate,
+        hll_estimate_by,
+        hll_merge,
+        hll_registers_by,
+    )
+
+    register_views(spark, sf_dir)
+    # sketch event_id (distinct per row) so per-type cardinalities
+    # genuinely differ — user_id saturates every type at small SF
+    ev = spark.table("events").select(
+        "event_type", F.col("event_id").cast("string").alias("u")
+    ).distinct()
+    regs = hll_registers_by(ev, "u", ["event_type"])
+    per_type = hll_estimate_by(regs, ["event_type"]).select(
+        F.col("event_type").alias("scope"), "est"
+    )
+    merged_all = hll_estimate(hll_merge(regs)).select(
+        F.lit("ALL").alias("scope"), "est"
+    )
+    return per_type.unionByName(merged_all)
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (operators/joins.asof_join): every click event gets
     the user's latest view event at or before it — the temporal join

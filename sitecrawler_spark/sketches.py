@@ -194,3 +194,46 @@ def hist_quantiles(
         est = F.round((F.col("bin") + frac) * F.lit(width) + F.lit(lo), 6)
         aggs.append(F.max(F.when(hit, est)).alias(name))
     return h.groupBy(*kcols).agg(*aggs)
+
+
+def hll_registers_by(
+    df: DataFrame, col: str, keys: list[str], p: int = 6, bits: int = 16
+) -> DataFrame:
+    """Grouped HLL register tables: (keys..., bucket, reg) — one sketch
+    per key group, built in a single map-side-combined groupBy over the
+    base data."""
+    bucket, rho = hll_register_cols(F.col(col), p, bits)
+    return (
+        df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_merge(regs: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Merge register tables to a coarser grouping (or global with no
+    keys): max per bucket. This is the sketch algebra that matters at
+    100 TB — a rollup re-aggregates the TINY register tables, never the
+    base data, and max is associative/commutative/idempotent, so any
+    merge tree (partitions, batches, stream epochs) yields the exact
+    same registers a direct build would (test-pinned)."""
+    keys = keys or []
+    return regs.groupBy(*keys, "bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate_by(
+    registers: DataFrame, keys: list[str], p: int = 6
+) -> DataFrame:
+    """Grouped bias-corrected estimates: (keys..., est) — same exact
+    powers-of-two harmonic sum as hll_estimate, one row per group."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s"),
+        F.count("*").alias("nonzero"),
+    )
+    est = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("nonzero")))
+    zeros = F.lit(m) - F.col("nonzero")
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    out = F.when((est <= F.lit(2.5 * m)) & (zeros > 0), small).otherwise(est)
+    return agg.select(*keys, F.round(out, 4).alias("est"))

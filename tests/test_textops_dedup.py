@@ -495,6 +495,30 @@ def test_cms_never_undercounts_and_hll_accuracy(spark):
     assert abs(e - exact) / exact < 0.4, (e, exact)
 
 
+def test_hll_merge_equals_direct_build(spark):
+    """Sketch-merge algebra: max-per-bucket over per-group register
+    tables must equal the registers of a direct global build — even
+    though a user appears in several group sketches, max is idempotent
+    over the identical hash. This is what lets partition/batch/stream
+    partial sketches combine exactly at 100 TB without rescans."""
+    from sitecrawler_spark.sketches import (
+        hll_merge,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    df = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    ).distinct()
+    per_type = hll_registers_by(df, "u", ["event_type"])
+    merged = sorted(map(tuple, hll_merge(per_type).collect()))
+    direct = sorted(
+        map(tuple, hll_registers(df.select("u").distinct(), "u").collect())
+    )
+    assert merged == direct
+
+
 def test_pq_trained_codebooks_improve_recall(spark):
     """Per-subspace k-means codebooks (pq_train_codebooks) must match or
     beat the deterministic sampled codebooks on pure-ADC recall@5 vs
