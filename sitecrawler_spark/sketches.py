@@ -237,3 +237,30 @@ def hll_estimate_by(
     small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     out = F.when((est <= F.lit(2.5 * m)) & (zeros > 0), small).otherwise(est)
     return agg.select(*keys, F.round(out, 4).alias("est"))
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Merge Count-Min tables built over disjoint (or overlapping —
+    CMS counts multisets) inputs: elementwise SUM per (row, bucket).
+    Exact algebra: a merge of partial tables equals the direct build
+    over the concatenated input (sum is associative/commutative), so
+    partition/batch/stream partials combine without rescans
+    (test-pinned equality)."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_merge(
+    *hists: DataFrame, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge fixed-boundary histograms (same lo/hi/nbins): SUM per
+    (keys..., bin). Same exact merge algebra as cms_merge — partial
+    histograms over input splits sum to the direct build
+    (test-pinned), keeping quantile queries a tiny-table pass at any
+    scale."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))

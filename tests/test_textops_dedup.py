@@ -495,6 +495,39 @@ def test_cms_never_undercounts_and_hll_accuracy(spark):
     assert abs(e - exact) / exact < 0.4, (e, exact)
 
 
+def test_cms_and_hist_merge_equal_direct_build(spark):
+    """Exact merge algebra for the other two sketches: Count-Min
+    tables merge by elementwise SUM and fixed-boundary histograms by
+    per-bin SUM — partials built over input splits must equal the
+    direct build over the whole input, row for row."""
+    from sitecrawler_spark.sketches import (
+        cms_build,
+        cms_merge,
+        hist_build,
+        hist_merge,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    a = words.filter(F.col("doc_id") % 2 == 0)
+    b = words.filter(F.col("doc_id") % 2 == 1)
+    merged = sorted(
+        map(tuple, cms_merge(cms_build(a, "word"), cms_build(b, "word")).collect())
+    )
+    direct = sorted(map(tuple, cms_build(words, "word").collect()))
+    assert merged == direct
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    lo, hi, nb = 0.0, 1000.0, 32
+    ha = hist_build(ev.filter(F.col("event_id") % 2 == 0), "value", lo, hi, nb)
+    hb = hist_build(ev.filter(F.col("event_id") % 2 == 1), "value", lo, hi, nb)
+    hm = sorted(map(tuple, hist_merge(ha, hb).collect()))
+    hd = sorted(map(tuple, hist_build(ev, "value", lo, hi, nb).collect()))
+    assert hm == hd
+
+
 def test_hll_merge_equals_direct_build(spark):
     """Sketch-merge algebra: max-per-bucket over per-group register
     tables must equal the registers of a direct global build — even
