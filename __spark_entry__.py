@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf": _queries.q_ann_ivf,               # coarse assign/probe ⊂ q_ann_ivfpq (exact-rerank tail ⊂ q_ann_bruteforce)
         "q_ann_ivfpq_residual": _queries.q_ann_ivfpq_residual,  # residual refinement of q_ann_ivfpq (same machinery + exact coarse term)
         "q_hll_merge_rollup": _queries.q_hll_merge_rollup,  # register build ⊂ q_hll_distinct_users; adds the merge (max-per-bucket) rollup algebra
+        "q_cms_merge_rollup": _queries.q_cms_merge_rollup,  # cell build ⊂ q_cms_word_counts; Spark merges parity-split partials vs the DIRECT-build oracle — hash equality proves the merge algebra
         "q_lineitem_pricing": _queries.q_lineitem_pricing,  # generic scan→agg pushdown shape ⊂ q_events_rollup/q_orders_top_customers (still bench HEADLINE)
         "q_ann_lsh": _queries.q_ann_lsh,               # ⊂ q_ann_lsh_multi
         "q_events_hourly": _queries.q_events_hourly,   # ⊂ q_events_rollup

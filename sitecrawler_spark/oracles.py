@@ -1357,6 +1357,12 @@ LEFT JOIN cells c2 ON c2.j = 2 AND c2.bucket = ('0x' || substr(md5(concat('cms2:
 """
 
 
+# q_cms_merge_rollup's Spark side merges parity-split PARTIAL sketches;
+# the oracle is the DIRECT single-pass build — hash equality is the
+# cross-engine merge-algebra proof (see queries.q_cms_merge_rollup)
+ORACLES["q_cms_merge_rollup"] = ORACLES["q_cms_word_counts"]
+
+
 ORACLES["q_hll_distinct_users"] = """
 WITH u AS (SELECT DISTINCT user_id::VARCHAR AS u FROM events),
 hv AS (

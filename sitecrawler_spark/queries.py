@@ -771,6 +771,27 @@ def q_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cms, items, "word")
 
 
+def q_cms_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-algebra driver gate for Count-Min: Spark builds TWO
+    partial sketches over doc_id-parity splits of the corpus and
+    MERGES them (elementwise sum), then answers the same point queries
+    as q_cms_word_counts. The oracle builds the direct single-pass
+    table — the driver's hash equality IS the cross-engine proof that
+    merged partials ≡ direct build (the property that lets partition/
+    batch/stream partials combine at 100 TB without rescans)."""
+    from sitecrawler_spark.sketches import cms_build, cms_estimate, cms_merge
+
+    register_views(spark, sf_dir)
+    words = spark.table("documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    a = cms_build(words.filter(F.col("doc_id") % 2 == 0), "word")
+    b = cms_build(words.filter(F.col("doc_id") % 2 == 1), "word")
+    cms = cms_merge(a, b)
+    items = words.select("word").distinct()
+    return cms_estimate(cms, items, "word")
+
+
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate over events (sketches.py):
     2^6 registers from the portable hash; the harmonic sum is exact
