@@ -2334,6 +2334,9 @@ FROM e GROUP BY 1
 """
 
 
+# mirror the engine's MIRROR_FP_BUCKET_CAP=10000 boilerplate guard:
+# fingerprints shared by more rows than the cap are dropped before
+# the host-pair self-join (queries.q_mirror_detect).
 ORACLES["q_mirror_detect"] = """
 WITH c AS (
   SELECT source, doc_id,
@@ -2345,9 +2348,13 @@ WITH c AS (
   FROM documents WHERE doc_id % 3 = 0
 ), hn AS (
   SELECT source, count(*)::BIGINT AS n_docs FROM c GROUP BY 1
+), bn AS (
+  SELECT fp FROM c GROUP BY fp HAVING count(*) <= 10000
+), cc AS (
+  SELECT c.* FROM c JOIN bn USING (fp)
 ), sh AS (
   SELECT a.source AS host_a, b.source AS host_b, count(*)::BIGINT AS shared_docs
-  FROM c a JOIN c b ON a.fp = b.fp AND a.source < b.source
+  FROM cc a JOIN cc b ON a.fp = b.fp AND a.source < b.source
   GROUP BY 1, 2 HAVING count(*) >= 3
 )
 SELECT sh.host_a, sh.host_b, sh.shared_docs,

@@ -67,6 +67,11 @@ CFG = CrawlerConfig(
 ALLOWED_PARAMS = ["a"]
 NORM_BASE = "https://www.salesforce.com"
 POLITENESS_K = 3
+# q_mirror_detect boilerplate guard: a content fingerprint shared by
+# more hosts than this is template chrome, not mirror evidence — the
+# exact-dup path owns it (same rationale as winnow_pairs/banded_pairs'
+# max_bucket_size). Inert at gate scale (pinned in tests/test_plans.py).
+MIRROR_FP_BUCKET_CAP = 10_000
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -2097,10 +2102,16 @@ def q_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored)) is fingerprinted per doc; host pairs are
     joined on content fingerprint and flagged when they share ≥ 3
     docs. The fingerprint join is the whole cost: keyed on the hash,
-    so identical content concentrates per fingerprint (bounded here
-    by mirror count, capped in the boilerplate-style skew pattern at
-    real scale); the per-pair agg is tiny. Output ratio uses integer
-    doc counts — float-free ordering."""
+    so identical content concentrates per fingerprint — a single hot
+    fingerprint (empty page, soft-404 template, cookie-wall chrome
+    shared by 10^5 hosts) would make 10^10 join pairs, so buckets
+    larger than ``MIRROR_FP_BUCKET_CAP`` are pre-counted and dropped
+    BEFORE the self-join (winnow_pairs' guard, dedup/dedup.py:406 —
+    boilerplate that common is the exact-dup path's job, not mirror
+    evidence). The cap is mirrored in the oracle and provably inert
+    at gate scale (tests/test_plans.py pins max bucket < cap); the
+    per-pair agg is tiny. Output ratio uses integer doc counts —
+    float-free ordering."""
     register_views(spark, sf_dir)
     docs = spark.table("documents")
     base = docs.select("source", "doc_id", K.portable_hash64(F.col("text")).alias("fp"))
@@ -2114,8 +2125,14 @@ def q_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(mirrored)
     hostn = corpus.groupBy("source").agg(F.count("*").alias("n_docs"))
-    a = corpus.select(F.col("source").alias("host_a"), "fp")
-    b = corpus.select(F.col("source").alias("host_b"), "fp")
+    sizes = corpus.groupBy("fp").agg(F.count("*").alias("_bn"))
+    capped = (
+        corpus.join(sizes, "fp")
+        .filter(F.col("_bn") <= MIRROR_FP_BUCKET_CAP)
+        .drop("_bn")
+    )
+    a = capped.select(F.col("source").alias("host_a"), "fp")
+    b = capped.select(F.col("source").alias("host_b"), "fp")
     shared = (
         a.join(b, "fp")
         .filter(F.col("host_a") < F.col("host_b"))
