@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from sitecrawler_spark.queries import (
     ALLOWED_PARAMS,
+    BM25_QUERIES,
     CFG,
     HREFS_SQL,
     NORM_BASE,
@@ -797,7 +798,16 @@ FROM tok GROUP BY word
 """
 
 
-ORACLES["q_bm25"] = """
+def bm25_oracle() -> str:
+    """Generated oracle for q_bm25: the VALUES clause is rendered from
+    queries.BM25_QUERIES so the query terms live in exactly one place
+    (ADVICE r04 — a hand-synced copy here broke silently on edit)."""
+    values = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, terms in sorted(BM25_QUERIES.items())
+        for term in terms
+    )
+    return f"""
 WITH t AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
@@ -809,10 +819,7 @@ dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
 stats AS (
   SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl
 ),
-q(query_id, word) AS (VALUES
-  (1, 'join'), (1, 'filter'), (1, 'window'),
-  (2, 'stream'), (2, 'batch'), (2, 'merge'),
-  (3, 'slow'), (3, 'query'), (3, 'scan')),
+q(query_id, word) AS (VALUES {values}),
 tfq AS (
   SELECT q.query_id, tf.doc_id, tf.word, tf.tf FROM tf JOIN q USING (word)
 ),

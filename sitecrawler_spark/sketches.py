@@ -32,6 +32,32 @@ def _cms_bucket(c: Column, row: int, w: int) -> Column:
     )
 
 
+def _sketch_params(df: DataFrame, field: str) -> dict | None:
+    """Build-parameter metadata stamped on ``field`` by the build
+    functions below, or None for tables built elsewhere."""
+    for f in df.schema.fields:
+        if f.name == field and f.metadata:
+            return dict(f.metadata)
+    return None
+
+
+def _require_compatible(tables, field: str, kind: str) -> dict | None:
+    """Merging sketches built with different parameters (d/w, lo/hi/
+    nbins, p/bits) silently yields garbage — bucket ids overlap, so the
+    merge 'succeeds' numerically (ADVICE r04). The build functions
+    stamp their params as schema-field metadata; this refuses a merge
+    whose stamped params disagree. Unstamped tables (built externally)
+    skip the check — the docstring contract still applies."""
+    stamped = [m for m in (_sketch_params(t, field) for t in tables) if m]
+    distinct = {tuple(sorted(m.items())) for m in stamped}
+    if len(distinct) > 1:
+        raise ValueError(
+            f"{kind} merge of incompatible sketches: "
+            f"{sorted(distinct)} — rebuild with matching parameters"
+        )
+    return stamped[0] if stamped else None
+
+
 def cms_build(df: DataFrame, col: str, d: int = 3, w: int = 64) -> DataFrame:
     """Count-Min table: (row, bucket, cnt) — d×w cells max.
 
@@ -52,7 +78,7 @@ def cms_build(df: DataFrame, col: str, d: int = 3, w: int = 64) -> DataFrame:
     return (
         df.select(F.explode(cells).alias("_c"))
         .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.count("*").alias("cnt", metadata={"sketch": "cms", "d": d, "w": w}))
     )
 
 
@@ -111,7 +137,8 @@ def hll_registers(
     return (
         df.select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
-        .agg(F.max("rho").alias("reg"))
+        .agg(F.max("rho").alias(
+            "reg", metadata={"sketch": "hll", "p": p, "bits": bits}))
     )
 
 
@@ -156,7 +183,12 @@ def hist_build(
             F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width)),
         )
     ).cast("int")
-    return df.groupBy(*keys, b.alias("bin")).agg(F.count("*").alias("cnt"))
+    return df.groupBy(*keys, b.alias("bin")).agg(
+        F.count("*").alias(
+            "cnt",
+            metadata={"sketch": "hist", "lo": lo, "hi": hi, "nbins": nbins},
+        )
+    )
 
 
 def hist_quantiles(
@@ -206,19 +238,28 @@ def hll_registers_by(
     return (
         df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*keys, "bucket")
-        .agg(F.max("rho").alias("reg"))
+        .agg(F.max("rho").alias(
+            "reg", metadata={"sketch": "hll", "p": p, "bits": bits}))
     )
 
 
-def hll_merge(regs: DataFrame, keys: list[str] | None = None) -> DataFrame:
+def hll_merge(*regs: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Merge register tables to a coarser grouping (or global with no
     keys): max per bucket. This is the sketch algebra that matters at
     100 TB — a rollup re-aggregates the TINY register tables, never the
     base data, and max is associative/commutative/idempotent, so any
     merge tree (partitions, batches, stream epochs) yields the exact
-    same registers a direct build would (test-pinned)."""
+    same registers a direct build would (test-pinned). Accepts several
+    register tables (unioned before the rollup); refuses tables stamped
+    with different (p, bits)."""
+    meta = _require_compatible(regs, "reg", "HLL")
     keys = keys or []
-    return regs.groupBy(*keys, "bucket").agg(F.max("reg").alias("reg"))
+    out = regs[0]
+    for t in regs[1:]:
+        out = out.unionByName(t)
+    reg = F.max("reg").alias("reg", metadata=meta) if meta else F.max(
+        "reg").alias("reg")
+    return out.groupBy(*keys, "bucket").agg(reg)
 
 
 def hll_estimate_by(
@@ -245,11 +286,15 @@ def cms_merge(*tables: DataFrame) -> DataFrame:
     Exact algebra: a merge of partial tables equals the direct build
     over the concatenated input (sum is associative/commutative), so
     partition/batch/stream partials combine without rescans
-    (test-pinned equality)."""
+    (test-pinned equality). Refuses tables stamped with different
+    (d, w)."""
+    meta = _require_compatible(tables, "cnt", "CMS")
     out = tables[0]
     for t in tables[1:]:
         out = out.unionByName(t)
-    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    cnt = F.sum("cnt").alias("cnt", metadata=meta) if meta else F.sum(
+        "cnt").alias("cnt")
+    return out.groupBy("row", "bucket").agg(cnt)
 
 
 def hist_merge(
@@ -259,8 +304,11 @@ def hist_merge(
     (keys..., bin). Same exact merge algebra as cms_merge — partial
     histograms over input splits sum to the direct build
     (test-pinned), keeping quantile queries a tiny-table pass at any
-    scale."""
+    scale. Refuses tables stamped with different (lo, hi, nbins)."""
+    meta = _require_compatible(hists, "cnt", "histogram")
     out = hists[0]
     for h in hists[1:]:
         out = out.unionByName(h)
-    return out.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+    cnt = F.sum("cnt").alias("cnt", metadata=meta) if meta else F.sum(
+        "cnt").alias("cnt")
+    return out.groupBy(*keys, "bin").agg(cnt)

@@ -739,3 +739,35 @@ def test_hits_deterministic_across_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_sketch_merge_refuses_mismatched_params(spark):
+    """ADVICE r04: merging partials built with different parameters
+    must raise, not silently produce garbage (bucket ids overlap, so a
+    mismatched merge 'succeeds' numerically). The build functions stamp
+    (d,w)/(p,bits)/(lo,hi,nbins) as schema metadata; merges verify."""
+    import pytest
+
+    from sitecrawler_spark.sketches import (
+        cms_build,
+        cms_merge,
+        hist_build,
+        hist_merge,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("word"))
+    with pytest.raises(ValueError, match="CMS merge of incompatible"):
+        cms_merge(cms_build(df, "word", w=64), cms_build(df, "word", w=32))
+    ev = spark.range(100).select((F.col("id") % 37).cast("double").alias("v"))
+    with pytest.raises(ValueError, match="histogram merge of incompatible"):
+        hist_merge(hist_build(ev, "v", 0.0, 64.0, 8),
+                   hist_build(ev, "v", 0.0, 32.0, 8))
+    u = spark.range(100).select(F.col("id").cast("string").alias("u"))
+    with pytest.raises(ValueError, match="HLL merge of incompatible"):
+        hll_merge(hll_registers(u, "u", p=6), hll_registers(u, "u", p=4))
+    # same params still merge (and keep the stamp through a re-merge)
+    m = cms_merge(cms_build(df, "word"), cms_build(df, "word"))
+    m2 = cms_merge(m, cms_build(df, "word"))
+    assert m2.count() > 0
