@@ -150,6 +150,21 @@ def cpu_probe(seconds: float = 2.0) -> int:
     return round(n / (time.time() - t0))
 
 
+def _this_round() -> int:
+    """Next round number inferred from committed BENCH_r*.json files —
+    names the side detail file (BENCH/detail_r{N}.json)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ns = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return (max(ns) + 1) if ns else 1
+
+
 def _prev_round_times() -> dict[str, float]:
     """Per-query seconds from the newest BENCH_r*.json, for the one-shot
     regression re-run (a >1.5x jump on a loaded box gets one retry; the
@@ -158,17 +173,21 @@ def _prev_round_times() -> dict[str, float]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not files:
-        return {}
-    try:
-        with open(files[-1]) as f:
-            j = json.load(f)
-        if "parsed" in j:  # driver wrapper: the bench line is nested
-            j = j["parsed"] or {}
-        return {**j.get("queries", {}), **j.get("dedup_ops", {}),
-                **j.get("pipeline_ops", {})}
-    except Exception:
-        return {}
+    # newest PARSEABLE round wins (r4's driver record was parsed:null —
+    # tail truncation — and must not wipe the regression baseline)
+    for path in reversed(files):
+        try:
+            with open(path) as f:
+                j = json.load(f)
+            if "parsed" in j:  # driver wrapper: the bench line is nested
+                j = j["parsed"] or {}
+            out = {**j.get("queries", {}), **j.get("dedup_ops", {}),
+                   **j.get("pipeline_ops", {})}
+            if out:
+                return out
+        except Exception:
+            continue
+    return {}
 
 
 def bench_parse(spark, n_pages: int = 20_000) -> tuple[float, float]:
@@ -309,37 +328,48 @@ def main() -> None:
         pipeline[name] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )
-    print(
-        json.dumps(
-            {
-                "metric": "urls fetched+deduped/sec (frontier dequeue stage) "
-                          "+ headline query suite",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": qtimes,
-                "dedup_ops": extra,
-                "pipeline_ops": pipeline,
-                "sf": sf,
-                "cpus": cpus,
-                "frontier_n": frontier_n,
-                "frontier_admitted": fd_rows,
-                "urls_per_sec": round(fd_rate, 1),
-                "global_order_rows_per_sec": round(go_rate, 1),
-                "crawl_pages": cr_pages,
-                "crawl_pages_per_sec": round(cr_rate, 2),
-                "parse_sec": round(pr_sec, 3),
-                "parse_pages_per_sec": round(pr_rate, 1),
-                "warmed_up": True,
-                "calibration": {
-                    "loadavg_start": [round(x, 2) for x in loadavg_start],
-                    "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                    "md5_4k_per_sec": md5_rate,
-                },
-                "loadavg_per_query": loadavg_per_query,
-                "reruns": reruns,
-            }
-        )
-    )
+    # The printed line must stay COMPACT: the driver's tail capture is
+    # finite and round 4's line (55 query keys + loadavg_per_query +
+    # reruns + calibration) outgrew it — the head was cut off and the
+    # round recorded parsed:null, losing the whole bench signal
+    # (VERDICT r04 #1). Headline fields only on stdout; everything
+    # else goes to BENCH/detail_r{N}.json.
+    headline = {
+        "metric": "urls fetched+deduped/sec (frontier dequeue stage) "
+                  "+ headline query suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in qtimes.items()},
+        "dedup_ops": {k: round(v, 2) for k, v in extra.items()},
+        "pipeline_ops": {k: round(v, 2) for k, v in pipeline.items()},
+        "urls_per_sec": round(fd_rate, 1),
+        "crawl_pages_per_sec": round(cr_rate, 2),
+        "sf": sf,
+        "cpus": cpus,
+    }
+    detail = {
+        **headline,
+        "frontier_n": frontier_n,
+        "frontier_admitted": fd_rows,
+        "global_order_rows_per_sec": round(go_rate, 1),
+        "crawl_pages": cr_pages,
+        "parse_sec": round(pr_sec, 3),
+        "parse_pages_per_sec": round(pr_rate, 1),
+        "warmed_up": True,
+        "calibration": {
+            "loadavg_start": [round(x, 2) for x in loadavg_start],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "md5_4k_per_sec": md5_rate,
+        },
+        "loadavg_per_query": loadavg_per_query,
+        "reruns": reruns,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH", f"detail_r{_this_round():02d}.json")
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(headline))
     spark.stop()
 
 
