@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_clean": _queries.q_url_clean,
         "q_crawl_e2e": _queries.q_crawl_e2e,
         "q_crawl_e2e_budgeted": _queries.q_crawl_e2e_budgeted,
+        "q_crawl_to_corpus": _queries.q_crawl_to_corpus,
         "q_seen_antijoin": _queries.q_seen_antijoin,
         "q_anchor_index": _queries.q_anchor_index,
         "q_error_dispatch": _queries.q_error_dispatch,
@@ -82,13 +83,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_training_pipeline": _queries.q_training_pipeline,
         "q_pagerank": _queries.q_pagerank,
         "q_hits": _queries.q_hits,
-        "q_inverted_index": _queries.q_inverted_index,
         "q_lm_score": _queries.q_lm_score,
         "q_media_meta": _queries.q_media_meta,
         "q_ann_kmeans": _queries.q_ann_kmeans,
         "q_text_features": _queries.q_text_features,
         "q_ann_ivfpq": _queries.q_ann_ivfpq,
-        "q_ann_pq": _queries.q_ann_pq,
+        "q_cms_merge_rollup": _queries.q_cms_merge_rollup,
         "q_embed_neardup": _queries.q_embed_neardup,
         "q_dedup_clusters": _queries.q_dedup_clusters,
         "q_incremental_dedup": _queries.q_incremental_dedup,
@@ -132,8 +132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_bruteforce": _queries.q_ann_bruteforce,  # ⊂ q_ann_lsh_multi recall base
         "q_ann_ivf": _queries.q_ann_ivf,               # coarse assign/probe ⊂ q_ann_ivfpq (exact-rerank tail ⊂ q_ann_bruteforce)
         "q_ann_ivfpq_residual": _queries.q_ann_ivfpq_residual,  # residual refinement of q_ann_ivfpq (same machinery + exact coarse term)
-        "q_hll_merge_rollup": _queries.q_hll_merge_rollup,  # register build ⊂ q_hll_distinct_users; adds the merge (max-per-bucket) rollup algebra
-        "q_cms_merge_rollup": _queries.q_cms_merge_rollup,  # cell build ⊂ q_cms_word_counts; Spark merges parity-split partials vs the DIRECT-build oracle — hash equality proves the merge algebra
+        "q_hll_merge_rollup": _queries.q_hll_merge_rollup,  # merge algebra ⊂ q_cms_merge_rollup (now IN the window); register build ⊂ q_hll_distinct_users
+        "q_ann_pq": _queries.q_ann_pq,  # pq_topk ≡ q_ann_ivfpq with all lists probed (test-pinned equivalence) — rotated out for q_cms_merge_rollup (VERDICT r04 #3)
+        "q_inverted_index": _queries.q_inverted_index,  # postings/df machinery ⊂ q_bm25 — rotated out for q_crawl_to_corpus (VERDICT r04 #4)
         "q_lineitem_pricing": _queries.q_lineitem_pricing,  # generic scan→agg pushdown shape ⊂ q_events_rollup/q_orders_top_customers (still bench HEADLINE)
         "q_ann_lsh": _queries.q_ann_lsh,               # ⊂ q_ann_lsh_multi
         "q_events_hourly": _queries.q_events_hourly,   # ⊂ q_events_rollup
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
     out = dict(_oracles.ORACLES)
     out["q_crawl_e2e"] = _oracles.crawl_e2e_oracle()
     out["q_crawl_e2e_budgeted"] = _oracles.crawl_e2e_budgeted_oracle()
+    out["q_crawl_to_corpus"] = _oracles.crawl_to_corpus_oracle()
     out["q_ann_lsh_multi"] = _oracles.ann_lsh_multi_oracle()
     out["q_embed_neardup"] = _oracles.embed_neardup_oracle()
     out["q_pagerank"] = _oracles.pagerank_oracle()

@@ -1208,6 +1208,42 @@ class SparkSiteCrawler:
         write_warc(df, out_dir, url_col="full_url",
                    content_col="content", status_col="status")
 
+    def export_training_corpus(self, **kw) -> "DataFrame":
+        """Crawl → pretraining corpus (corpus.training_corpus): the
+        fetched span pages become (doc_id, host, lines) — doc_id is the
+        page's rank among spans-bearing pages in realized visit order
+        (the same (wave, discovery_order) ordering visit_order_df
+        exposes, so the reference model reproduces the ids exactly),
+        lines are the text-span texts in span order — then boilerplate
+        strip → quality/lang gate → exact+minhash dedup →
+        decontamination → sequence packing. Keyword args pass through
+        to corpus.training_corpus."""
+        from sitecrawler_spark.corpus import training_corpus
+
+        pages = self.pages
+        if pages is None:
+            raise RuntimeError("export_training_corpus: nothing crawled")
+        # ranged two-pass global rank (operators/ordering.py) — a plain
+        # row_number() OVER (ORDER BY …) would collapse a 10^10-page
+        # crawl onto one partition
+        docs = (
+            assign_global_order(
+                pages.filter(F.col("spans").isNotNull()),
+                ["wave", "discovery_order"],
+                out_col="doc_id",
+                start=1,
+            )
+            .select(
+                "doc_id",
+                "host",
+                F.transform(
+                    F.filter("spans", lambda s: s["kind"] == "text"),
+                    lambda s: s["text"],
+                ).alias("lines"),
+            )
+        )
+        return training_corpus(docs, **kw)
+
     def compact_state(self, max_parts: int = 1) -> list[str]:
         """Maintenance compaction of the APPEND state tables (pages /
         links / metrics): rewrite accumulated per-wave part dirs into

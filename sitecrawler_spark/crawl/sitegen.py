@@ -240,3 +240,136 @@ def seeds_for(rows: list[dict], n: int = 2) -> list[str]:
         u = r["url"]
         out.append(u[u.index("/", u.index("://") + 3) :])
     return out
+
+
+# --- corpus fixture: crawl → training-corpus pipeline -----------------------
+
+_CORPUS_TOPICS = (
+    "data cloud pipeline index crawler schema query stream".split()
+)
+_CORPUS_VERBS = "moves stores builds reads writes merges".split()
+
+
+def _cw(i: int, k: int) -> str:
+    """Content word (i, k): an 8-letter base-26 pseudo-word derived
+    arithmetically — long, doc-specific tokens whose CHARACTER
+    5-shingles are essentially disjoint between different pages (so
+    minhash-LSH only pairs real copies; stem-sharing vocab drove
+    cross-doc Jaccard to ~0.43 and chained the whole corpus into one
+    cluster) while every word 8-gram still carries doc-unique tokens
+    (so decontamination drops only planted overlap)."""
+    v = (i * 1315423911 + k * 2654435761 + 97) % (26 ** 8)
+    chars = []
+    for _ in range(8):
+        chars.append(chr(97 + v % 26))
+        v //= 26
+    return "".join(chars)
+
+
+def _corpus_body(i: int) -> list[str]:
+    """Deterministic body lines for corpus page ``i``: English pages
+    are stopword-glued content words; i%7==0 pages are French (the
+    lang-gate case)."""
+    if i % 7 == 0:  # French page → filtered by the lang gate
+        return [
+            f"le {_cw(i, 0)} est un service de {_cw(i, 1)} et la"
+            f" equipe {_cw(i, 2)} est pour les {_cw(i, 3)} du site",
+            f"la plateforme {_cw(i, 4)} est un outil de {_cw(i, 5)} et"
+            f" le plan {_cw(i, 6)} est pour les {_cw(i, 7)} du groupe",
+        ]
+    return [
+        f"the {_cw(i, 0)} {_cw(i, 1)} is fresh and the {_cw(i, 2)}"
+        f" batch {_CORPUS_VERBS[i % 6]} into the {_cw(i, 3)} store"
+        f" with {_cw(i, 4)} limits in place",
+        f"a {_cw(i, 5)} queue holds {_cw(i, 6)} rows and the"
+        f" {_cw(i, 7)} merge lands in a {_cw(i, 8)} table for the"
+        f" review of {_cw(i, 9)} runs",
+        f"the {_cw(i, 10)} plan is set for {_cw(i, 11)} scale and the"
+        f" {_cw(i, 12)} cost stays low in the {_cw(i, 13)} zone of"
+        f" {_cw(i, 14)} sites",
+    ]
+
+
+def generate_corpus_site(
+    n_pages: int = 44,
+    hosts: tuple[str, ...] = ("www.salesforce.com", "docs.salesforce.com"),
+    scheme: str = "https",
+) -> list[dict]:
+    """Deterministic multi-host site whose CONTENT exercises every
+    training-corpus stage (the crawl semantics are exercised by
+    generate_site):
+
+    - per-host nav/footer text spans on EVERY page, plus a promo line
+      on 40% of host-0 pages → boilerplate strip (>20% of host docs
+      and ≥3 docs);
+    - pages with i%7==0 are French → lang/quality gate drops them;
+    - pages with i%9==8 copy the previous page's body verbatim
+      (often cross-host: identical after the host-specific chrome is
+      stripped — the mirror case) → exact dedup;
+    - pages with i%6==3 copy body(i-3) plus one extra line →
+      minhash-LSH near-dup clusters;
+    - pages with i%3==2 (except the exact-dup pages) embed one body
+      line copied from page (i*5)%n_pages → shared word-8-grams
+      WITHOUT near-dup-level similarity, the decontamination case;
+    - anchors link (i+1), (i*5+7), (i+11) mod n → the crawl reaches
+      every page from two seeds.
+    """
+    paths = [f"/c/sec{i % 4}/p{i}.html" for i in range(n_pages)]
+    page_host = [hosts[i % len(hosts)] for i in range(n_pages)]
+    urls = [f"{scheme}://{page_host[i]}{paths[i]}" for i in range(n_pages)]
+
+    bodies: list[list[str]] = []
+    for i in range(n_pages):
+        body = _corpus_body(i)
+        if i >= 6 and i % 6 == 3:  # near-dup of i-3 (+1 extra line)
+            body = list(bodies[i - 3]) + [
+                f"an extra note u{i}x on the {_CORPUS_TOPICS[i % 8]} rollout"
+                f" u{i}y for the quarter q{i % 4} with margin u{i}z to spare"
+            ]
+        if i >= 1 and i % 9 == 8:  # exact dup of i-1's final body
+            body = list(bodies[i - 1])
+        bodies.append(body)
+
+    rows: list[dict] = []
+    for i in range(n_pages):
+        h = page_host[i]
+        spans: list[dict] = []
+        off = 0
+
+        def add(kind, text=None, media_ref=None):
+            nonlocal off
+            spans.append(
+                {"kind": kind, "text": text, "media_ref": media_ref,
+                 "offset": off}
+            )
+            off += 1
+
+        add("text", text=f"nav {h} home login products pricing")
+        if i % 2 == 0 and i % 5 < 2:  # 40% of host-0 pages
+            add("text", text="subscribe to the weekly newsletter for updates")
+        for line in bodies[i]:
+            add("text", text=line)
+        # contamination bait: one line from another page — NOT on the
+        # exact-dup pages (i%9==8 is always ≡2 mod 3, and a bait line
+        # its i-1 source lacks would break the byte-identical mirror)
+        if i % 3 == 2 and i % 9 != 8:
+            add("text", text=_corpus_body((i * 5) % n_pages)[0])
+        add("anchor", text=urls[(i + 1) % n_pages])
+        add("anchor", text=paths[(i * 5 + 7) % n_pages])
+        add("anchor", text=urls[(i + 11) % n_pages])
+        add("text", text=f"footer {h} copyright contact legal")
+
+        rows.append(
+            {
+                "url": urls[i],
+                "host": h,
+                "status": 200,
+                "content_type": "text/html",
+                "redirect_location": None,
+                "empty_body": False,
+                "transient_fails": 0,
+                "spans": spans,
+                "html": render_spans_to_html(spans, title=f"p{i}"),
+            }
+        )
+    return rows

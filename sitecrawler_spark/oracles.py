@@ -1689,6 +1689,171 @@ def crawl_e2e_oracle() -> str:
     )
 
 
+def crawl_to_corpus_oracle() -> str:
+    """Oracle for q_crawl_to_corpus: the CRAWL comes from the
+    independent single-threaded reference model (crawl/model.py — SQL
+    cannot express the cyclic dataflow, same argument as
+    crawl_e2e_oracle); its spans-bearing pages in visit order become a
+    VALUES table of (doc_id, host, line_id, line), and every PIPELINE
+    stage is an independent SQL re-implementation composed as CTEs:
+    per-host boilerplate strip → quality/lang/Gopher gate (the
+    q_training_pipeline / q_gopher_quality fragments) → exact dedup →
+    minhash-LSH + recursive-CTE components → 8-gram decontamination
+    (eval slice doc_id%11=0) → 128-token concat-and-split packing."""
+    from sitecrawler_spark.crawl.model import ReferenceCrawlModel
+    from sitecrawler_spark.queries import crawl_to_corpus_setup
+
+    rows, cfg, seeds = crawl_to_corpus_setup()
+    res = ReferenceCrawlModel(cfg, rows).crawl(seeds)
+    vals = []
+    doc_id = 0
+    for i, url in enumerate(res.visit_order):
+        page = res.pages[i]
+        assert page["url"] == url, "model pages/visit_order misaligned"
+        if page["spans"] is None:
+            continue
+        doc_id += 1
+        host = url.split("/")[2]
+        line_id = 0
+        for s in page["spans"]:
+            if s["kind"] != "text":
+                continue
+            line = s["text"].replace("'", "''")
+            vals.append(
+                f"({doc_id}, '{host}', {line_id}, '{line}')"
+            )
+            line_id += 1
+    values = ", ".join(vals)
+    return f"""
+WITH RECURSIVE p(doc_id, host, line_id, line) AS (VALUES {values}),
+hostc AS (
+  SELECT host, count(DISTINCT doc_id) AS host_docs FROM p GROUP BY 1
+),
+lf AS (
+  SELECT host, line, count(DISTINCT doc_id) AS n_docs_line
+  FROM p GROUP BY 1, 2
+),
+bp AS (
+  SELECT lf.host, lf.line FROM lf JOIN hostc USING (host)
+  WHERE n_docs_line >= 3 AND 5 * n_docs_line > host_docs
+),
+keptl AS (
+  SELECT p.* FROM p LEFT JOIN bp ON p.host = bp.host AND p.line = bp.line
+  WHERE bp.line IS NULL
+),
+docs0 AS (
+  SELECT doc_id, host, string_agg(line, ' ' ORDER BY line_id) AS text
+  FROM keptl GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, host, text,
+    round(
+      least(length(text) / 500.0, 1.0) * 0.3
+    + least({_stopcount('en')}
+        / greatest(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END, 1.0) * 4.0,
+        1.0) * 0.4
+    + (1.0 - least(len(regexp_extract_all(text, '{_PUNCT_RE}'))
+        / greatest(length(text), 1.0) * 10.0, 1.0)) * 0.2
+    + (1.0 - least(len(regexp_extract_all(text, '[A-Z]'))
+        / greatest(length(text), 1.0) * 10.0, 1.0)) * 0.1
+    , 4) AS quality,
+    CASE WHEN greatest({_stopcount('en')}, {_stopcount('fr')},
+                       {_stopcount('de')}, {_stopcount('es')}) = 0 THEN 'und'
+         WHEN {_stopcount('en')} = greatest({_stopcount('en')}, {_stopcount('fr')},
+                       {_stopcount('de')}, {_stopcount('es')}) THEN 'en'
+         WHEN {_stopcount('fr')} = greatest({_stopcount('en')}, {_stopcount('fr')},
+                       {_stopcount('de')}, {_stopcount('es')}) THEN 'fr'
+         WHEN {_stopcount('de')} = greatest({_stopcount('en')}, {_stopcount('fr')},
+                       {_stopcount('de')}, {_stopcount('es')}) THEN 'de'
+         ELSE 'es' END AS lang_pred,
+    (CASE WHEN trim(text) = '' THEN 0
+          ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT
+      AS n_tokens,
+    round(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                  x -> length(x)))::DOUBLE
+          / greatest(len(string_split_regex(trim(text), '\\s+')),
+                     1)::DOUBLE, 6) AS mwl,
+    ({_stopcount('en')})::BIGINT AS stops
+  FROM docs0
+),
+gated AS (
+  SELECT doc_id, host, text, n_tokens FROM scored
+  WHERE quality >= 0.5 AND lang_pred = 'en' AND n_tokens >= 20
+    AND mwl >= 3.0 AND mwl <= 10.0 AND stops >= 2
+),
+uniqd AS (
+  SELECT doc_id, host, text, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5({_NORM})
+                                 ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1
+),
+sigs AS (
+  SELECT doc_id AS id,
+         [{', '.join(_pipe_minhash_j(j) for j in range(16))}] AS sig
+  FROM uniqd
+),
+bands AS (
+  SELECT id, unnest([
+    concat_ws('_', 0, sig[1], sig[2], sig[3], sig[4]),
+    concat_ws('_', 1, sig[5], sig[6], sig[7], sig[8]),
+    concat_ws('_', 2, sig[9], sig[10], sig[11], sig[12]),
+    concat_ws('_', 3, sig[13], sig[14], sig[15], sig[16])
+  ]) AS band_key
+  FROM sigs
+),
+edges AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.id < b.id
+),
+und AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION SELECT id_b, id_a FROM edges
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM uniqd
+  UNION
+  SELECT u.d, reach.lbl FROM reach JOIN und u ON u.s = reach.id
+),
+comp AS (
+  SELECT id, min(lbl) AS component_id FROM reach GROUP BY id
+),
+canon AS (
+  SELECT u.doc_id, u.host, u.text, u.n_tokens
+  FROM comp JOIN uniqd u ON u.doc_id = comp.id
+  WHERE comp.id = comp.component_id
+),toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM canon),
+g0 AS (
+  SELECT doc_id, ts, generate_subscripts(ts, 1) AS j, unnest(ts) FROM toks
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(ts, j, j + 7), ' ') AS g
+  FROM g0 WHERE j + 7 <= len(ts)
+),
+evalg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0),
+contaminated AS (
+  SELECT DISTINCT grams.doc_id FROM grams JOIN evalg USING (g)
+  WHERE grams.doc_id % 11 <> 0
+),
+clean AS (
+  SELECT c.* FROM canon c
+  WHERE c.doc_id % 11 <> 0
+    AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+cum AS (
+  SELECT doc_id, host, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY host ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      AS cum_before
+  FROM clean
+)
+SELECT host, floor(cum_before / 128)::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS tokens,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_list
+FROM cum GROUP BY 1, 2
+"""
+
+
 def crawl_e2e_budgeted_oracle() -> str:
     """Oracle for q_crawl_e2e_budgeted: the pure-Python wave-mode model
     (ReferenceCrawlModel.crawl_budgeted — list/dict implementation of

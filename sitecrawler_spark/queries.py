@@ -328,6 +328,39 @@ def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_to_corpus_setup():
+    """Shared fixture for q_crawl_to_corpus and its oracle: the
+    deterministic multi-host corpus site (sitegen.generate_corpus_site
+    plants boilerplate chrome, French pages, exact/near dups and
+    n-gram contamination) + a multi-host config. Both sides crawl the
+    SAME rows — engine vs the single-threaded reference model — so the
+    gate covers crawl-order parity AND the corpus pipeline."""
+    from sitecrawler_spark.crawl import sitegen
+
+    rows = sitegen.generate_corpus_site()
+    cfg = CrawlerConfig(base_url="https://", disable_redirects=True)
+    return rows, cfg, [rows[0]["url"], rows[1]["url"]]
+
+
+def q_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composition — crawl → training corpus: the wave engine
+    crawls the deterministic corpus site, then export_training_corpus
+    chains boilerplate strip → Gopher/quality+lang gate → exact+minhash
+    dedup (canonical pick) → decontamination → sequence packing over
+    the crawled span pages (corpus.py). The oracle re-runs the
+    independent single-threaded reference model for the crawl and
+    composes the per-stage SQL CTEs over its pages
+    (oracles.crawl_to_corpus_oracle) — one gate over the whole
+    crawl-to-corpus story."""
+    from sitecrawler_spark.crawl import sitegen
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+
+    rows, cfg, seeds = crawl_to_corpus_setup()
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, rows))
+    eng.crawl(seeds, max_waves=60)
+    return eng.export_training_corpus()
+
+
 def crawl_e2e_budgeted_setup():
     """Shared fixture for q_crawl_e2e_budgeted: multi-host site + a
     NON-default config — per-host politeness budget, host salting for
