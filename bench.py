@@ -363,6 +363,12 @@ def main() -> None:
         },
         "loadavg_per_query": loadavg_per_query,
         "reruns": reruns,
+        "methodology_notes": (
+            "global_order_ranged_4m and parse_html_20k switched to "
+            "unconditional best-of-2 min in round 4 (one-shot before); "
+            "cross-round deltas for those two entries reflect the "
+            "protocol change, not code speedups — raw runs in reruns."
+        ),
     }
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(here, "BENCH", f"detail_r{_this_round():02d}.json")

@@ -664,6 +664,11 @@ class SparkSiteCrawler:
         # delta normally; None = the retry path folded/deleted rows, so
         # this wave must REPLACE the table (Iceberg overwrite op)
         self._last_visited_delta = ins_part
+        if getattr(self, "_recrawl_replace_visited", False):
+            # a recrawl() un-saw URLs since the last commit — deletions
+            # an APPEND delta cannot express; force one REPLACE commit
+            self._last_visited_delta = None
+            self._recrawl_replace_visited = False
         self._pages_parts.append(pages_out)
         self._links_parts.append(links_part)
         self.visited_counter += n_fetched
@@ -1184,6 +1189,99 @@ class SparkSiteCrawler:
             F.col("host").alias("_score_host"),
             F.col("rank").cast("double").alias("_host_score"),
         ).localCheckpoint(eager=True)
+
+    def recrawl(self, urls: DataFrame | None = None) -> int:
+        """Open a new fetch EPOCH: un-see previously-crawled URLs and
+        re-enqueue them, so the wave loop fetches them again and the
+        pages APPEND log accumulates one observation per epoch (the
+        fetch history crawl/recrawl.py estimates change rates from).
+        ``urls`` narrows the epoch to a (full_url) selection — e.g.
+        only hosts above a λ̂ threshold; None re-crawls everything.
+
+        Un-seeing reuses the transient-retry re-admission pattern
+        (run_wave's cuckoo-delete block): exact visited rows for both
+        the url and its clean form are anti-joined away; a cuckoo seen
+        filter gets true deletes, a bloom stays stale (prefilter
+        positives only cost selectivity — anti_join_seen keeps
+        exact-set semantics). Re-enqueue order preserves each URL's
+        original discovery order, so FIFO parity holds within the
+        epoch. Returns the number of URLs re-enqueued."""
+        pages = self.pages
+        if pages is None:
+            raise RuntimeError("recrawl: nothing crawled yet")
+        targets = (
+            urls.select("full_url") if urls is not None
+            else pages.select("full_url")
+        ).distinct()
+        rm = targets.select(F.col("full_url").alias("s")).unionByName(
+            targets.select(self._clean(F.col("full_url")).alias("s"))
+            .filter(F.col("s").isNotNull())
+        )
+        visited2 = self.visited.join(rm, "s", "left_anti").localCheckpoint(
+            eager=True
+        )
+        self._visited_parts = [visited2]
+        # the next wave's snapshot must REPLACE the visited table: an
+        # APPEND delta cannot express the deletions, and a resume from
+        # a delta-only commit would still see the un-seen URLs
+        self._recrawl_replace_visited = True
+        from sitecrawler_spark.operators.seen import SparkCuckooFilter
+
+        if isinstance(self.seen, SparkCuckooFilter):
+            self.seen.delete_df(rm, "s")
+        old = pages.groupBy("full_url").agg(
+            F.min("discovery_order").alias("_old")
+        )
+        req = targets.join(old, "full_url", "left").select(
+            F.col("full_url").alias("raw_url"),
+            F.coalesce(F.col("_old"), F.lit(2 ** 62)).alias("_old"),
+        )
+        obs_rq = Observation(f"e{id(self)}_recrawl_rq_{self.wave}")
+        requeue = assign_global_order(
+            req, ["_old", "raw_url"], "discovery_order",
+            start=self._max_order + 1,
+            num_partitions=self.cfg.order_partitions,
+        ).select(
+            "raw_url", "discovery_order",
+            F.lit(0).cast("int").alias("depth"),
+            F.lit(0).cast("int").alias("retry_count"),
+        ).observe(obs_rq, F.count(F.lit(1)).alias("c"))
+        fr = (
+            self.frontier if self.frontier is not None
+            else self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        )
+        # both observations ride the ONE checkpoint action
+        obs_fr = Observation(f"e{id(self)}_recrawl_fr_{self.wave}")
+        self.frontier = (
+            fr.unionByName(requeue)
+            .observe(
+                obs_fr,
+                F.coalesce(
+                    F.max("discovery_order"), F.lit(self._max_order)
+                ).alias("m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        self._max_order = int(obs_fr.get["m"])
+        return int(obs_rq.get["c"])
+
+    def schedule_recrawl(self, min_fetches: int = 2) -> DataFrame:
+        """Closed crawl → estimate → re-crawl loop (Cho &
+        Garcia-Molina 2003), the change-rate analog of feeding
+        operators.graph.host_opic into set_host_scores_df: per-host
+        mean λ̂ over the pages fetch log installs as the host_score
+        dequeue priority, so the next recrawl() epoch fetches
+        fast-changing hosts first under wave caps
+        (frontier_priority="host_score"). Returns the (host, rank)
+        score table it installed."""
+        from sitecrawler_spark.crawl.recrawl import host_change_rates
+
+        pages = self.pages
+        if pages is None:
+            raise RuntimeError("schedule_recrawl: nothing crawled yet")
+        scores = host_change_rates(pages, min_fetches=min_fetches)
+        self.set_host_scores_df(scores)
+        return scores
 
     def export_warc(self, out_dir: str) -> None:
         """Archive the crawl's fetched pages as WARC response records

@@ -148,3 +148,101 @@ def test_host_opic_scores_feed_host_priority(spark):
     eng = SparkSiteCrawler(spark, cfg, web_df=None)
     eng.set_host_scores_df(scores)  # accepts the (host, rank) shape
     assert eng._host_scores_df is not None
+
+
+def _recrawl_site(ver: int):
+    """Two-host site for the change-rate loop: fast.example.com's page
+    text carries the epoch version (content changes every epoch),
+    slow.example.com is static. Pages link within-host rings plus one
+    cross-host edge so two seeds reach everything."""
+    from sitecrawler_spark.crawl.parse import render_spans_to_html
+
+    hosts = ["fast.example.com", "slow.example.com"]
+    urls = {
+        h: [f"https://{h}/p{i}.html" for i in range(3)] for h in hosts
+    }
+    rows = []
+    for h in hosts:
+        for i in range(3):
+            text = (
+                f"fast content version {ver} page {i}"
+                if h == "fast.example.com"
+                else f"slow content page {i}"
+            )
+            spans = [
+                {"kind": "text", "text": text, "media_ref": None,
+                 "offset": 0},
+                {"kind": "anchor", "text": urls[h][(i + 1) % 3],
+                 "media_ref": None, "offset": 1},
+                {"kind": "anchor",
+                 "text": urls[hosts[1 - hosts.index(h)]][i],
+                 "media_ref": None, "offset": 2},
+            ]
+            rows.append({
+                "url": urls[h][i], "host": h, "status": 200,
+                "content_type": "text/html", "redirect_location": None,
+                "empty_body": False, "transient_fails": 0,
+                "spans": spans,
+                "html": render_spans_to_html(spans, title=f"{h}/{i}"),
+            })
+    return rows, [urls[hosts[0]][0], urls[hosts[1]][0]]
+
+
+def test_change_rate_recrawl_closed_loop(spark):
+    """The Cho & Garcia-Molina loop end-to-end: crawl twice (content on
+    the fast host changes between epochs), schedule_recrawl estimates
+    per-host lambda-hat from the pages fetch log and installs it as the
+    host_score priority, and the THIRD epoch's first capped wave fetches
+    the fast host's pages before any slow-host page."""
+    from sitecrawler_spark.config import CrawlerConfig
+    from sitecrawler_spark.crawl import sitegen
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+
+    rows1, seeds = _recrawl_site(1)
+    cfg = CrawlerConfig(
+        base_url="https://", disable_redirects=True,
+        frontier_priority="host_score",
+    )
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, rows1))
+    eng.crawl(seeds, max_waves=20)
+    assert eng.pages.count() == 6
+
+    # epoch 2: fast host's content changed; re-crawl everything
+    eng.web_df = sitegen.site_to_df(spark, _recrawl_site(2)[0])
+    n = eng.recrawl()
+    assert n == 6
+    eng.crawl(max_waves=20)
+    per_url = eng.pages.groupBy("full_url").count().collect()
+    assert {r["count"] for r in per_url} == {2}
+
+    # estimate: fast lambda-hat = -ln(0.5/1.5) = ln 3, slow = 0
+    scores = eng.schedule_recrawl()
+    ranks = {r["host"]: r["rank"] for r in scores.collect()}
+    assert abs(ranks["fast.example.com"] - math.log(3.0)) < 1e-9
+    assert ranks["slow.example.com"] == 0.0
+    assert eng._host_scores_df is not None
+
+    # epoch 3 under a wave cap: fast host dequeues first
+    eng.web_df = sitegen.site_to_df(spark, _recrawl_site(3)[0])
+    eng.cfg.max_wave_size = 3
+    assert eng.recrawl() == 6
+    w0 = eng.wave
+    eng.run_wave()
+    first = eng.pages.filter(F.col("wave") == w0)
+    assert first.count() == 3
+    assert {r["host"] for r in first.select("host").collect()} == {
+        "fast.example.com"
+    }
+    # drain the epoch: every URL ends with exactly 3 fetch observations
+    eng.crawl(max_waves=20)
+    per_url = eng.pages.groupBy("full_url").count().collect()
+    assert len(per_url) == 6 and {r["count"] for r in per_url} == {3}
+    # and the fast host's third-epoch fetches all precede the slow host's
+    ep3 = eng.pages.filter(F.col("wave") >= w0)
+    fast_max = ep3.filter(F.col("host") == "fast.example.com").agg(
+        F.max("wave")
+    ).collect()[0][0]
+    slow_min = ep3.filter(F.col("host") == "slow.example.com").agg(
+        F.min("wave")
+    ).collect()[0][0]
+    assert fast_max < slow_min

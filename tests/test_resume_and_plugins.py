@@ -357,3 +357,35 @@ def test_time_travel_to_expired_snapshot_raises(spark, site, tmp_path):
     with pytest.raises(ValueError, match="no snapshot"):
         eng.resume(snapshot_id=ids[0])
     eng.resume(snapshot_id=ids[-1])  # surviving snapshot still resumable
+
+
+def test_recrawl_epoch_survives_resume(spark, site, tmp_path):
+    """recrawl() deletes visited rows, which an APPEND delta cannot
+    express — the next wave's snapshot must REPLACE the visited table
+    so a resumed engine still re-fetches the un-seen URLs."""
+    web = sitegen.site_to_df(spark, site)
+    seeds = sitegen.seeds_for(site, 2)
+    sd = str(tmp_path / "state_recrawl")
+
+    eng = SparkSiteCrawler(spark, _cfg(), web, state_dir=sd)
+    eng.crawl(seeds, max_waves=60)
+    n_urls = eng.pages.select("full_url").distinct().count()
+    assert n_urls > 0
+
+    # open epoch 2 and run ONE capped wave (its commit must REPLACE
+    # visited; the cap keeps the epoch mid-flight across the resume)
+    assert eng.recrawl() == n_urls
+    eng.cfg.max_wave_size = 10
+    eng.run_wave()
+    done_ep2 = eng.pages.groupBy("full_url").count().filter(
+        F.col("count") >= 2
+    ).count()
+    assert 0 < done_ep2 < n_urls  # mid-epoch: some re-fetched, not all
+
+    # a NEW engine resumes from the store and finishes the epoch
+    eng2 = SparkSiteCrawler(spark, _cfg(), web, state_dir=sd)
+    eng2.resume()
+    eng2.crawl(seeds, max_waves=60)
+    per_url = eng2.pages.groupBy("full_url").count().collect()
+    assert len(per_url) == n_urls
+    assert {r["count"] for r in per_url} == {2}  # every URL re-fetched once
