@@ -38,16 +38,17 @@ def fetch_history(pages: DataFrame) -> DataFrame:
     )
 
 
-def url_change_rates(pages: DataFrame, min_fetches: int = 2) -> DataFrame:
-    """Per-URL λ̂ from the fetch log: order each URL's fetches by wave,
-    flag fingerprint changes between consecutive fetches, then the
-    bias-corrected estimator λ̂ = -ln((n - X + 0.5) / (n + 0.5)) over
-    n = fetches-1 observed intervals (Cho & Garcia-Molina 2003, §4 —
-    identical to queries.q_recrawl_schedule's gated form). URLs seen
-    fewer than ``min_fetches`` times carry no interval evidence and
-    are dropped. Columns: (full_url, host, n_fetches, n_changes,
-    lambda_hat)."""
-    hist = fetch_history(pages)
+def change_rates_from_history(
+    hist: DataFrame, min_fetches: int = 2
+) -> DataFrame:
+    """Per-URL λ̂ from a generic fetch history (full_url, host, wave,
+    fp): order each URL's fetches by wave, flag fingerprint changes
+    between consecutive fetches, then the bias-corrected estimator
+    λ̂ = -ln((n - X + 0.5) / (n + 0.5)) over n = fetches-1 observed
+    intervals (Cho & Garcia-Molina 2003, §4 — identical to
+    queries.q_recrawl_schedule's gated form). URLs seen fewer than
+    ``min_fetches`` times carry no interval evidence and are dropped.
+    Columns: (full_url, host, n_fetches, n_changes, lambda_hat)."""
     w = Window.partitionBy("full_url").orderBy("wave")
     obs = hist.select(
         "full_url",
@@ -69,6 +70,14 @@ def url_change_rates(pages: DataFrame, min_fetches: int = 2) -> DataFrame:
         F.col("n_changes").cast("long").alias("n_changes"),
         # + 0.0 canonicalizes IEEE -0.0 (X=0 → -ln(1)) to 0.0
         (lam + F.lit(0.0)).alias("lambda_hat"),
+    )
+
+
+def url_change_rates(pages: DataFrame, min_fetches: int = 2) -> DataFrame:
+    """Per-URL λ̂ over the ENGINE's pages fetch log — see
+    change_rates_from_history for the estimator."""
+    return change_rates_from_history(
+        fetch_history(pages), min_fetches=min_fetches
     )
 
 

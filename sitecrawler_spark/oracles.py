@@ -2080,6 +2080,39 @@ FROM lam
 """
 
 
+# the MODULE gate for crawl/recrawl.change_rates_from_history — same
+# derived history as q_recrawl_schedule but keyed by synthetic URL/host
+# and fingerprint (fp = content version); `+ 0.0` mirrors the module's
+# IEEE -0.0 canonicalization for the X=0 (never-changed) case
+ORACLES["q_url_change_rates"] = """
+WITH hist AS (
+  SELECT concat('https://h', user_id % 37, '.example.com/p', user_id)
+           AS full_url,
+         concat('h', user_id % 37, '.example.com') AS host,
+         epoch(ts) AS wave,
+         floor(epoch(ts) / (3600 * (1 + user_id % 5))) AS fp
+  FROM events
+),
+obs AS (
+  SELECT full_url, host,
+         CAST(fp <> lag(fp)
+              OVER (PARTITION BY full_url ORDER BY wave) AS INTEGER)
+           AS changed
+  FROM hist
+),
+agg AS (
+  SELECT full_url, host,
+         count(*) AS n_fetches,
+         CAST(COALESCE(sum(changed), 0) AS BIGINT) AS n_changes
+  FROM obs GROUP BY full_url, host
+)
+SELECT full_url, host, n_fetches, n_changes,
+       round(-ln((n_fetches - 1 - n_changes + 0.5) / (n_fetches - 1 + 0.5))
+             + 0.0, 6) AS lambda_hat
+FROM agg WHERE n_fetches >= 3
+"""
+
+
 def sitemap_parse_oracle() -> str:
     """Independent DuckDB re-parse of the shared sitemap corpus:
     regexp_extract_all over the block regexes + generate_subscripts for

@@ -1649,6 +1649,42 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recrawl MODULE's estimator (crawl/recrawl.py —
+    change_rates_from_history, the exact code path
+    engine.schedule_recrawl runs over the pages fetch log) gated on a
+    derived fetch history: events → (full_url, host, wave, fp) with
+    wave = fetch epoch second and fp = the page-cadence content
+    version (same derivation as q_recrawl_schedule). λ̂ rounds 6dp —
+    the ln() argument is a ratio of exact half-integers, bit-identical
+    cross-engine. One hash exchange on full_url feeds both the lag
+    window and the aggregation."""
+    from sitecrawler_spark.crawl.recrawl import change_rates_from_history
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    hist = ev.select(
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 37).cast("string"),
+            F.lit(".example.com/p"), F.col("user_id").cast("string"),
+        ).alias("full_url"),
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 37).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.unix_timestamp("ts").alias("wave"),
+        F.floor(
+            F.unix_timestamp("ts")
+            / (F.lit(3600) * (F.lit(1) + F.col("user_id") % 5))
+        ).alias("fp"),
+    )
+    r = change_rates_from_history(hist, min_fetches=3)
+    return r.select(
+        "full_url", "host", "n_fetches", "n_changes",
+        F.round("lambda_hat", 6).alias("lambda_hat"),
+    )
+
+
 # deterministic sitemap-XML corpus — VALID IN BOTH Spark SQL and DuckDB
 # (concat/CASE/% only). Two page entries per doc (one fully attributed,
 # one loc-only) plus a nested sitemapindex reference every 10th doc.
