@@ -164,7 +164,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_ann_kmeans"] = _oracles.ann_kmeans_oracle()
     out["q_ann_pq"] = _oracles.ann_pq_oracle()
     out["q_bm25"] = _oracles.bm25_oracle()
-    out["q_ann_ivfpq"] = _oracles.ann_ivfpq_oracle()
+    out["q_ann_ivfpq"] = _oracles.ann_ivfpq_oracle(trained_coarse=True)
     out["q_ann_ivfpq_residual"] = _oracles.ann_ivfpq_oracle(by_residual=True)
     out["q_opic"] = _oracles.opic_oracle()
     out["q_url_trap_score"] = _oracles.url_trap_score_oracle()

@@ -922,15 +922,15 @@ FROM t WHERE word <> '' GROUP BY word
 """
 
 
-def ann_kmeans_oracle(
-    n_centroids: int = 20, n_iters: int = 2, init_stride: int = 25,
-    k: int = 5, n_probe: int = 3,
-) -> str:
-    """Generated oracle for q_ann_kmeans: the Lloyd iterations unrolled
-    as SQL CTEs (assignment = rounded-cosine argmax; update = per-dim
-    mean re-assembled in dim order, cast to FLOAT exactly like the
-    Spark side so both engines quantize the new centroids identically),
-    then the same 3-probe IVF search as q_ann_ivf."""
+def _lloyd_ctes(
+    n_centroids: int, n_iters: int, init_stride: int
+) -> list[str]:
+    """Shared Lloyd-unrolled CTE block (assignment = rounded-cosine
+    argmax; update = per-dim mean re-assembled in dim order, cast to
+    FLOAT exactly like kmeans_centroids so both engines quantize the
+    new centroids identically). Trained centroids land in
+    cent{n_iters}; used by ann_kmeans_oracle and, as the trained
+    coarse quantizer, by ann_ivfpq_oracle."""
     ctes = [f"""cent0 AS (
   SELECT centroid_id, cvec FROM (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
@@ -939,7 +939,7 @@ def ann_kmeans_oracle(
   WHERE centroid_id < {n_centroids}
 )"""]
     for i in range(1, n_iters + 1):
-        ctes.append(f"""assign{i} AS (
+        ctes.append(f"""assign_km{i} AS (
   SELECT id, vec, centroid_id FROM (
     SELECT id, vec, centroid_id,
            row_number() OVER (PARTITION BY id
@@ -956,7 +956,7 @@ upd{i} AS (
     SELECT centroid_id, dim, avg(val) AS m FROM (
       SELECT centroid_id, unnest(vec) AS val,
              generate_subscripts(vec, 1) AS dim
-      FROM assign{i}) u1
+      FROM assign_km{i}) u1
     GROUP BY centroid_id, dim) u2
   GROUP BY centroid_id
 ),
@@ -966,6 +966,17 @@ cent{i} AS (
   SELECT c.* FROM cent{i - 1} c
   LEFT JOIN upd{i} u USING (centroid_id) WHERE u.centroid_id IS NULL
 )""")
+    return ctes
+
+
+def ann_kmeans_oracle(
+    n_centroids: int = 20, n_iters: int = 2, init_stride: int = 25,
+    k: int = 5, n_probe: int = 3,
+) -> str:
+    """Generated oracle for q_ann_kmeans: the Lloyd iterations unrolled
+    as SQL CTEs (_lloyd_ctes), then the same 3-probe IVF search as
+    q_ann_ivf."""
+    ctes = _lloyd_ctes(n_centroids, n_iters, init_stride)
     final = f"""scored AS (
   SELECT e.vec_id AS id, e.embedding AS vec, c.centroid_id,
          round(list_cosine_similarity(e.embedding::DOUBLE[],
@@ -1525,15 +1536,19 @@ SELECT query_id, neighbor_id, rank, adc FROM r WHERE rank <= {k}
 def ann_ivfpq_oracle(
     dim: int = 64, m_sub: int = 4, k_cent: int = 8, stride: int = 61,
     k: int = 5, centroid_stride: int = 25, n_probe: int = 3,
-    by_residual: bool = False,
+    by_residual: bool = False, trained_coarse: bool = False,
+    coarse_k: int = 20, coarse_iters: int = 2, coarse_init_stride: int = 25,
 ) -> str:
     """Generated oracle for q_ann_ivfpq (and the by_residual variant):
     IVFADC mirrored in DuckDB — the q_ann_ivf oracle's coarse
     assign/probe CTEs compose with the q_ann_pq oracle's
     codebook/encode/ADC CTEs; candidates are the probed inverted lists
     only. by_residual quantizes vec − coarse_centroid and adds the
-    exact q·c_list coarse term. Same element-ordered sums, same
-    explicit left-associated ADC total, bit-identical."""
+    exact q·c_list coarse term. trained_coarse swaps the sampled
+    coarse quantizer for Lloyd-trained centroids (_lloyd_ctes — the
+    FAISS pattern of a trained quantizer feeding the IVFPQ index).
+    Same element-ordered sums, same explicit left-associated ADC
+    total, bit-identical."""
     dsub = dim // m_sub
 
     def l2(off: int) -> str:
@@ -1579,10 +1594,17 @@ cb AS (
     FROM embeddings WHERE vec_id % {stride} = 0) s
   WHERE cid < {k_cent}
 )"""
-    ctes = [f"""cent AS (
+    if trained_coarse:
+        ctes = _lloyd_ctes(coarse_k, coarse_iters, coarse_init_stride)
+        ctes.append(f"""cent AS (
+  SELECT centroid_id, cvec AS ccvec FROM cent{coarse_iters}
+)""")
+    else:
+        ctes = [f"""cent AS (
   SELECT vec_id AS centroid_id, embedding AS ccvec
   FROM embeddings WHERE vec_id % {centroid_stride} = 0
-)""", """cscored AS (
+)"""]
+    ctes += ["""cscored AS (
   SELECT e.vec_id AS id, c.centroid_id,
          round(list_cosine_similarity(e.embedding::DOUBLE[],
                                       c.ccvec::DOUBLE[]), 6) AS csim

@@ -1458,17 +1458,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN (IVFADC): coarse inverted lists (vec_id % 25
-    centroids, 3-probe) restrict the search set, PQ asymmetric distance
-    scores the candidates — the composed billion-vector scale path.
-    Deterministic sampled centroids AND codebooks, so the SQL oracle
-    mirrors bit-for-bit; degrades to exactly q_ann_pq when every list
-    is probed (test-pinned)."""
-    from sitecrawler_spark.dedup.ann import ivfpq_topk
+    """IVF-PQ ANN (IVFADC) with a TRAINED coarse quantizer — the FAISS
+    production pattern: Lloyd k-means (the q_ann_kmeans-gated trainer)
+    learns the inverted-list centroids, 3-probe lists restrict the
+    search set, PQ asymmetric distance scores the candidates — the
+    composed billion-vector scale path. Deterministic end-to-end
+    (stride init, rounded-argmax assignment, FLOAT-cast updates), so
+    the SQL oracle unrolls the same Lloyd iterations and mirrors
+    bit-for-bit; the sampled-quantizer form degrades to exactly
+    q_ann_pq when every list is probed (test-pinned)."""
+    from sitecrawler_spark.dedup.ann import ivfpq_topk, kmeans_centroids
 
     register_views(spark, sf_dir)
     emb = spark.table("embeddings")
-    return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10))
+    cents = kmeans_centroids(emb, n_centroids=20, n_iters=2, init_stride=25)
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), centroids=cents
+    )
 
 
 def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
