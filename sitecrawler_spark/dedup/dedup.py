@@ -352,8 +352,13 @@ def winnow_fingerprints(
     "Winnowing: local algorithms for document fingerprinting", SIGMOD
     2003): hash every word k-gram, slide a w-hash window per document,
     keep each window's MINIMUM hash (simplified min rule — every
-    window minimum, deduplicated — rather than the rightmost-tie
-    refinement; documented and mirrored exactly in the SQL oracle).
+    window minimum, deduplicated — mirrored exactly in the SQL
+    oracle). This is a DELIBERATE simplification of §4's robust rule:
+    the per-window selected VALUE is always the window minimum, so the
+    distinct (id, fp) set here is identical to robust winnowing's —
+    see winnow_fingerprints_robust for the stateful rightmost-tie
+    variant that additionally thins recorded POSITIONS on repetitive
+    text.
     Winnowing guarantees any shared substring of ≥ k+w-1 words yields
     at least one shared fingerprint — the SUBSTRING-overlap dedup
     modality (Lee et al., "Deduplicating Training Data Makes Language
@@ -390,6 +395,74 @@ def winnow_fingerprints(
         .distinct()
     )
     return fps
+
+
+def winnow_fingerprints_robust(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """ROBUST winnowing exactly as Schleimer, Wilkerson & Aiken §4: in
+    each window select the minimum hash; break ties by keeping the
+    PREVIOUS window's selection when it is still in the window and
+    still minimal, else select the RIGHTMOST minimal hash; record a
+    (pos, fp) only when the selection changes. The selected VALUE per
+    window is always the window minimum, so the distinct fingerprint
+    set equals winnow_fingerprints' simplified every-minimum rule —
+    what robust winnowing adds is POSITIONAL density: on repetitive
+    text (the adversarial case §4 targets, e.g. a run of one repeated
+    k-gram) it records ~1/w of the positions the state-free
+    rightmost-tie rule would, giving sparser localization anchors.
+
+    The selection rule is sequential per document (the tie-break
+    depends on the previous window's selection), so this runs the
+    textbook scan inside an Arrow-batched applyInPandas over id
+    groups — per-doc memory O(tokens), the same bound the HTML parser
+    already carries; the state-free winnow_fingerprints stays the
+    default set-level scale path. Hashes are the same portable
+    md5-based word-k-gram hashes, so robust and simplified variants
+    interoperate (shared-substring guarantee: any match of ≥ k+w-1
+    words still yields ≥1 shared fingerprint). Returns (id, pos, fp)
+    with pos = the recorded gram's word offset."""
+    import pandas as pd
+
+    from sitecrawler_spark.kernel.udfs import portable_hash64_py
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_ws"),
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_pos, out_fp = [], [], []
+        for did, ws in zip(pdf["id"], pdf["_ws"]):
+            words = [x for x in ws if x != ""]
+            n = len(words) - k + 1
+            if n < w:
+                continue
+            hs = [
+                portable_hash64_py(" ".join(words[i : i + k]))
+                for i in range(n)
+            ]
+            sel = -1  # previously selected gram index
+            for p in range(n - w + 1):
+                win = hs[p : p + w]
+                m = min(win)
+                # keep the previous selection while it is still in the
+                # window and still minimal; else rightmost minimal
+                if not (sel >= p and hs[sel] == m):
+                    sel = p + w - 1 - win[::-1].index(m)
+                    out_id.append(did)
+                    out_pos.append(sel)
+                    out_fp.append(hs[sel])
+        return pd.DataFrame({"id": out_id, "pos": out_pos, "fp": out_fp})
+
+    return toks.groupBy("id").applyInPandas(
+        scan, schema=f"id {id_type}, pos long, fp long"
+    )
 
 
 def winnow_pairs(

@@ -60,6 +60,13 @@ def host_udf(s: pd.Series) -> pd.Series:
     return urls_pd.host_series(s)
 
 
+def portable_hash64_py(s: str) -> int:
+    """Scalar Python form of urls_spark.portable_hash64 (md5 first 15
+    hex chars as a 60-bit int) — for textbook-scan UDF internals and
+    driver-side cross-checks."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 @F.pandas_udf(T.LongType())
 def portable_hash64_udf(s: pd.Series) -> pd.Series:
     """Same value as urls_spark.portable_hash64 (md5 first 15 hex chars),

@@ -723,6 +723,95 @@ def test_winnowing_guarantee_and_specificity(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs  # disjoint vocab
 
 
+def test_robust_winnowing_matches_textbook_scan(spark):
+    """winnow_fingerprints_robust vs an INDEPENDENT textbook
+    implementation of Schleimer §4 (written here, hashlib directly):
+    exact (id, pos, fp) equality on mixed text including a repeated
+    phrase (the tie-ful case the stateful rule exists for)."""
+    import hashlib
+
+    from sitecrawler_spark.dedup.dedup import winnow_fingerprints_robust
+
+    k, w = 4, 4
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, ("stop stop stop stop stop stop stop stop stop stop "
+             "stop stop stop stop")),
+        (3, "alpha beta gamma delta alpha beta gamma delta alpha beta "
+            "gamma delta epsilon"),
+    ]
+
+    def ref(text):
+        words = [x for x in text.lower().strip().split() if x]
+        n = len(words) - k + 1
+        out = []
+        if n < w:
+            return out
+        hs = [
+            int(hashlib.md5(" ".join(words[i:i + k]).encode())
+                .hexdigest()[:15], 16)
+            for i in range(n)
+        ]
+        sel = -1
+        for p in range(n - w + 1):
+            win = hs[p:p + w]
+            m = min(win)
+            if not (sel >= p and hs[sel] == m):
+                # rightmost minimal in the window
+                sel = p + max(i for i in range(w) if win[i] == m)
+                out.append((sel, hs[sel]))
+        return out
+
+    want = sorted(
+        (d, pos, fp) for d, t in docs for pos, fp in ref(t)
+    )
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = sorted(
+        (r["id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints_robust(
+            df, "text", "doc_id", k=k, w=w
+        ).collect()
+    )
+    assert got == want
+
+
+def test_robust_winnowing_set_equals_simplified_and_thins_runs(spark):
+    """The §4 claims pinned: (a) the distinct fingerprint SET equals
+    the simplified every-minimum rule's (the selected value per window
+    is always the window minimum); (b) on a single repeated k-gram the
+    robust rule records ~1/w of the positions (one per w windows)
+    while still winnowing the run to ONE distinct fingerprint."""
+    from sitecrawler_spark.dedup.dedup import (
+        winnow_fingerprints,
+        winnow_fingerprints_robust,
+    )
+
+    varied = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen"
+    )
+    rep = " ".join(["tok"] * 40)
+    df = spark.createDataFrame(
+        [(1, varied), (2, rep)], ["doc_id", "text"]
+    )
+    simp = {
+        (r["id"], r["fp"])
+        for r in winnow_fingerprints(df, "text", "doc_id", 4, 4).collect()
+    }
+    robust_rows = winnow_fingerprints_robust(
+        df, "text", "doc_id", 4, 4
+    ).collect()
+    robust_set = {(r["id"], r["fp"]) for r in robust_rows}
+    assert robust_set == simp  # (a)
+    rep_rows = [r for r in robust_rows if r["id"] == 2]
+    # 37 grams, 34 windows; selections at gram 3, 7, ..., 35 → 9
+    assert len(rep_rows) == 9  # (b): density 1/w, not one per window
+    assert len({r["fp"] for r in rep_rows}) == 1
+    assert [r["pos"] for r in sorted(rep_rows, key=lambda r: r["pos"])] == [
+        3, 7, 11, 15, 19, 23, 27, 31, 35
+    ]
+
+
 def test_hits_deterministic_across_partitioning(spark):
     """q_hits sums 9dp-rounded doubles per bucket — pin that the
     fixpoint is identical under different shuffle-partition layouts
