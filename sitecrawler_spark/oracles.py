@@ -2102,6 +2102,63 @@ FROM lam
 """
 
 
+# DSIR importance resampling (Xie 2023): hashed unigram+bigram bucket
+# distributions, add-one smoothing, per-bucket log-ratio rounded ONCE
+# to integer micro-units (exact long sums thereafter), Gumbel-top-64
+# with the portable-hash uniform — mirrors queries.q_dsir_select /
+# textops.dsir_logweights arithmetic step for step
+ORACLES["q_dsir_select"] = """
+WITH base AS (
+  SELECT doc_id, (doc_id % 13 = 0) AS is_target,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_target,
+         unnest(list_concat(
+           t,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i + 1])
+                ELSE [] END)) AS g
+  FROM base
+),
+gb AS (
+  SELECT doc_id, is_target,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+  FROM grams
+),
+counts AS (
+  SELECT b,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+  FROM gb GROUP BY b
+),
+totals AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+lr AS (
+  SELECT b,
+         round(1e6 * (ln(ct + 1) - ln(tt + 1024)
+                      - ln(cr + 1) + ln(tr + 1024)))::BIGINT AS lr_micro
+  FROM counts, totals
+),
+lw AS (
+  SELECT doc_id, is_target, sum(lr_micro)::BIGINT AS logw_micro
+  FROM gb JOIN lr USING (b)
+  GROUP BY doc_id, is_target
+),
+keyed AS (
+  SELECT doc_id, logw_micro,
+         logw_micro + round(-ln(-ln(
+           ((('0x' || substr(md5('dsir|' || doc_id), 1, 15))::BIGINT
+             % 1099511627776)::DOUBLE + 1.0) / 1099511627777.0
+         )) * 1e6)::BIGINT AS sel_key
+  FROM lw WHERE NOT is_target
+)
+SELECT doc_id, logw_micro, sel_key FROM keyed
+ORDER BY sel_key DESC, doc_id LIMIT 64
+"""
+
+
 # the MODULE gate for crawl/recrawl.change_rates_from_history — same
 # derived history as q_recrawl_schedule but keyed by synthetic URL/host
 # and fingerprint (fp = content version); `+ 0.0` mirrors the module's

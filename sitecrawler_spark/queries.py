@@ -1868,6 +1868,42 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): hashed
+    unigram+bigram importance log-weights of every RAW doc against the
+    TARGET slice (doc_id % 13 == 0), then Gumbel-top-k resampling
+    without replacement — sel_key = logw + Gumbel(0,1), with the
+    Gumbel draw derived from a portable-hash uniform so the resample
+    is deterministic and engine/partition-layout independent (the
+    q_weighted_sample rationale). All arithmetic lands in integer
+    micro-units before summing/comparison. Top 64 raw docs by
+    sel_key — a TakeOrderedAndProject, never a single-partition
+    window."""
+    from sitecrawler_spark.textops.functions import dsir_logweights
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", "text", (F.col("doc_id") % 13 == 0).alias("is_target")
+    )
+    lw = dsir_logweights(docs, "text", "doc_id", "is_target")
+    m = float(1 << 40)
+    h = K.portable_hash64(F.concat(F.lit("dsir|"), F.col("id").cast("string")))
+    u = (F.pmod(h, F.lit(1 << 40)).cast("double") + F.lit(1.0)) / F.lit(
+        m + 1.0
+    )
+    g_micro = F.round(-F.log(-F.log(u)) * 1e6).cast("long")
+    return (
+        lw.filter(~F.col("is_target"))
+        .select(
+            F.col("id").alias("doc_id"),
+            "logw_micro",
+            (F.col("logw_micro") + g_micro).alias("sel_key"),
+        )
+        .orderBy(F.col("sel_key").desc(), "doc_id")
+        .limit(64)
+    )
+
+
 def bpe_corpus() -> list[tuple[str, int]]:
     """Deterministic synthetic word-frequency corpus for the BPE gate —
     sf-independent shared INPUT (the crawl_e2e synthetic-site pattern;

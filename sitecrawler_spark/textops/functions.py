@@ -301,3 +301,73 @@ def bm25_topk(
             ),
         )
     )
+
+
+def dsir_logweights(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col: str = "is_target",
+    n_buckets: int = 1024,
+):
+    """DSIR importance log-weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): hashed
+    unigram+bigram bag features, add-one-smoothed bucket distributions
+    for the TARGET slice vs the RAW rest, and per-doc
+    log w(d) = Σ_g log(p_target[h(g)] / p_raw[h(g)]).
+
+    Determinism contract: bucket = portable 60-bit md5 hash mod
+    n_buckets; each bucket's log-ratio is rounded once to integer
+    MICRO-units, so the per-doc weight is an exact long sum —
+    order-independent and bit-identical in the SQL oracle (the
+    q_lm_score pattern).
+
+    Distributed shape (100 TB): one tokenize pass builds the gram
+    array map-side; bucket counting is a map-side-combined agg to
+    ≤ n_buckets×2 rows; totals are a 1-row broadcast; the per-doc sum
+    re-uses the SAME exploded grams with the n_buckets-row ratio
+    table broadcast — shuffle = one doc_id exchange of pre-combined
+    partials. Returns (id, is_target, logw_micro)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # guard: F.sequence(1, 0) DESCENDS in Spark — a 1-token doc must
+    # yield an empty bigram array, not indices [1, 0]
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                  F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from sitecrawler_spark.kernel.urls_spark import portable_hash64
+
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).alias("is_target"),
+        F.explode(F.concat(toks, bigrams)).alias("g"),
+    ).select(
+        "id", "is_target",
+        F.pmod(portable_hash64(F.col("g")), F.lit(n_buckets)).alias("b"),
+    )
+    counts = grams.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            1e6
+            * (
+                F.log(F.col("ct") + 1)
+                - F.log(F.col("tt") + n_buckets)
+                - F.log(F.col("cr") + 1)
+                + F.log(F.col("tr") + n_buckets)
+            )
+        ).cast("long").alias("lr_micro"),
+    )
+    return grams.join(F.broadcast(lr), "b").groupBy("id", "is_target").agg(
+        F.sum("lr_micro").alias("logw_micro")
+    )

@@ -860,3 +860,36 @@ def test_sketch_merge_refuses_mismatched_params(spark):
     m = cms_merge(cms_build(df, "word"), cms_build(df, "word"))
     m2 = cms_merge(m, cms_build(df, "word"))
     assert m2.count() > 0
+
+
+def test_dsir_logweights_prefer_target_like_docs(spark):
+    """DSIR sanity on planted distributions: target docs use vocab A;
+    raw docs are either A-like or B-like. The A-like raw docs must get
+    strictly larger importance log-weights than every B-like doc, and
+    q_dsir_select-style Gumbel-top-k over them must pick mostly
+    A-like."""
+    from sitecrawler_spark.textops.functions import dsir_logweights
+
+    va = "alpha beta gamma delta epsilon zeta".split()
+    vb = "omega psi chi phi upsilon tau".split()
+
+    def doc(vocab, i, n=30):
+        return " ".join(vocab[(i * 7 + j * 3) % len(vocab)] for j in range(n))
+
+    rows = []
+    rid = 0
+    for i in range(10):  # target: vocab A
+        rows.append((rid, doc(va, i), True)); rid += 1
+    for i in range(10):  # raw, A-like
+        rows.append((rid, doc(va, i + 5), False)); rid += 1
+    for i in range(10):  # raw, B-like
+        rows.append((rid, doc(vb, i), False)); rid += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_target"])
+    lw = {
+        r["id"]: r["logw_micro"]
+        for r in dsir_logweights(df, "text", "doc_id", "is_target").collect()
+        if not r["is_target"]
+    }
+    a_like = [lw[i] for i in range(10, 20)]
+    b_like = [lw[i] for i in range(20, 30)]
+    assert min(a_like) > max(b_like)
