@@ -324,7 +324,9 @@ def main() -> None:
                  "q_boilerplate_strip", "q_pii_redact",
                  "q_quantile_sketch", "q_anchor_index", "q_mirror_detect",
                  "q_ann_ivfpq", "q_ann_ivfpq_residual", "q_bm25",
-                 "q_hll_merge_rollup", "q_cms_merge_rollup"):
+                 "q_hll_merge_rollup", "q_cms_merge_rollup",
+                 "q_crawl_to_corpus", "q_url_change_rates",
+                 "q_dsir_select"):
         pipeline[name] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )
