@@ -368,3 +368,52 @@ def test_mirror_detect_fp_bucket_cap(spark):
         .collect()[0]["m"]
     )
     assert hot < Q.MIRROR_FP_BUCKET_CAP, hot
+
+
+def test_crawl_to_corpus_pipeline_plan_shapes(spark):
+    """Plan pins for the corpus pipeline's scale claims (PLANS §12),
+    audited on the corpus stages over a plain docs frame (the engine
+    crawl itself is gated elsewhere): the per-host boilerplate stats
+    key on (host, line) — never a global line key; the per-host doc
+    counts and the decontamination eval-gram set join as broadcasts;
+    no Python eval nodes anywhere in the pipeline plan."""
+    from sitecrawler_spark import corpus as C
+
+    docs = spark.createDataFrame(
+        [(i, f"h{i % 3}", [f"line a{i}", "the shared nav chrome",
+                           f"line b{i}"]) for i in range(30)],
+        "doc_id long, host string, lines array<string>",
+    )
+    stripped = C.strip_boilerplate(docs)
+    p = _plan(stripped)
+    assert "BroadcastHashJoin" in p, p  # host doc counts broadcast
+    assert "hashpartitioning(host" in p, p  # line stats keyed WITH host
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    clean = C.decontaminate(
+        stripped.select("doc_id", "host", F.lit("w ").alias("text"))
+    )
+    pc = _plan(clean)
+    assert "BroadcastHashJoin" in pc, pc  # eval grams broadcast
+    assert "BatchEvalPython" not in pc and "ArrowEvalPython" not in pc
+
+    packed = _plan(C.pack_sequences(
+        stripped.select("doc_id", "host", F.lit("w w w").alias("text"))
+    ))
+    # packing windows per host — no single-partition global window
+    assert "Window" in packed and "SinglePartition" not in packed, packed
+
+
+def test_dsir_select_plan_shapes(spark):
+    """q_dsir_select plan pins: the bucket log-ratio table joins as a
+    broadcast; the global top-64 is a TakeOrderedAndProject (per-
+    partition top-k + merge), never a single-partition window; no
+    Python eval nodes."""
+    sf = "/root/testdata/sf0.001"
+    p = _plan(Q.q_dsir_select(spark, sf))
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    # no window operator at all — the only SinglePartition exchange is
+    # the 1-row totals aggregate (a scalar, not row data)
+    assert "Window" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
