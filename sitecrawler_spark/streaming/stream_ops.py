@@ -257,3 +257,83 @@ def streaming_hist_cells(
         )
     ).cast("int")
     return stream.groupBy(b.alias("bin")).agg(F.count("*").alias("cnt"))
+
+
+# --- streaming change-rate estimation (crawl/recrawl.py on a feed) ---------
+
+FETCH_HISTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("full_url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("wave", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+_CR_STATE = T.StructType(
+    [
+        T.StructField("n_fetches", T.LongType()),
+        T.StructField("n_changes", T.LongType()),
+        T.StructField("last_fp", T.LongType()),
+        T.StructField("last_wave", T.LongType()),
+    ]
+)
+
+_CR_OUT = T.StructType(
+    [
+        T.StructField("full_url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("n_fetches", T.LongType()),
+        T.StructField("n_changes", T.LongType()),
+    ]
+)
+
+
+def _change_rate_updates(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (url,) = key
+    if state.exists:
+        n, x, last_fp, last_wave = state.get
+    else:
+        n, x, last_fp, last_wave = 0, 0, None, -1
+    host = None
+    for p in pdfs:
+        p = p.sort_values("wave")
+        for host, wave, fp in zip(p["host"], p["wave"], p["fp"]):
+            if wave <= last_wave:
+                continue  # late/duplicate delivery — drop, never recount
+            if last_fp is not None and fp != last_fp:
+                x += 1
+            n += 1
+            last_fp, last_wave = fp, int(wave)
+    state.update((n, x, last_fp if last_fp is not None else 0, last_wave))
+    yield pd.DataFrame(
+        {"full_url": [url], "host": [host], "n_fetches": [n],
+         "n_changes": [x]}
+    )
+
+
+def streaming_change_rates(
+    spark: SparkSession, source_dir: str
+) -> DataFrame:
+    """Change-rate estimation over an UNBOUNDED fetch log — the
+    streaming form of crawl/recrawl.change_rates_from_history: state
+    per URL is four scalars (n_fetches, n_changes, last_fp,
+    last_wave), each micro-batch folds its rows in wave order, and the
+    update stream carries the running (n, X) counts from which the
+    Cho & Garcia-Molina λ̂ follows by the same closed-form expression
+    the batch estimator applies. Rows at or before the per-URL
+    frontier (late or duplicate delivery) are dropped, never
+    recounted, so replays cannot inflate the estimate. State is O(1)
+    per URL regardless of history length — the property that lets the
+    re-crawl scheduler run forever on the live fetch feed instead of
+    rescanning the pages log."""
+    stream = spark.readStream.schema(FETCH_HISTORY_SCHEMA).parquet(source_dir)
+    return stream.groupBy("full_url").applyInPandasWithState(
+        _change_rate_updates,
+        outputStructType=_CR_OUT,
+        stateStructType=_CR_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -320,3 +320,62 @@ def test_streaming_hist_matches_batch_and_bounds_error(spark, events_dir):
     ).collect()[0]
     assert abs(est.p50 - exact.p50) <= 2.5 + 1e-6
     assert abs(est.p99 - exact.p99) <= 2.5 + 1e-6
+
+
+def test_streaming_change_rates_matches_batch_and_ignores_replay(
+    spark, tmp_path
+):
+    """streaming_change_rates ≡ the batch estimator on a drained fetch
+    log, and a REPLAYED epoch file (duplicate delivery) changes
+    nothing — the per-URL wave frontier drops it. In update mode the
+    memory sink keeps every update row; the LAST row per URL is the
+    final state."""
+    from sitecrawler_spark.crawl.recrawl import change_rates_from_history
+    from sitecrawler_spark.streaming import stream_ops as S
+
+    rows = []
+    for wave in (1, 2, 3):
+        for i in range(10):
+            fp = (i * 1000 + wave) if i % 2 == 0 else (i * 1000)
+            rows.append((f"https://h{i % 2}.test/p{i}", f"h{i % 2}.test",
+                         wave, fp))
+    hist = spark.createDataFrame(rows, S.FETCH_HISTORY_SCHEMA)
+    d = tmp_path / "fetchlog"
+    d.mkdir()
+    hist.filter(F.col("wave") <= 2).coalesce(1).write.parquet(
+        str(d / "epoch12")
+    )
+    hist.filter(F.col("wave") == 3).coalesce(1).write.parquet(
+        str(d / "epoch3")
+    )
+    import glob as _g
+    import shutil as _sh
+
+    files = sorted(_g.glob(str(d / "epoch*") + "/part-*.parquet"))
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _sh.copy(files[0], feed / "a_epoch12.parquet")
+    _sh.copy(files[1], feed / "b_epoch3.parquet")
+    _sh.copy(files[0], feed / "c_epoch12_replayed.parquet")  # duplicate
+
+    out = S.streaming_change_rates(spark, str(feed))
+    S.run_to_memory(out, "cr_stream", mode="update")
+    import pandas as pd
+
+    upd = spark.table("cr_stream").toPandas()
+    final = (
+        upd.groupby("full_url", as_index=False).last()
+        .set_index("full_url")
+    )
+    batch = {
+        r["full_url"]: (r["n_fetches"], r["n_changes"])
+        for r in change_rates_from_history(hist, min_fetches=1).collect()
+    }
+    assert len(final) == 10
+    for url, (n, x) in batch.items():
+        assert (final.loc[url, "n_fetches"],
+                final.loc[url, "n_changes"]) == (n, x), url
+    # even URLs changed every wave (X = 2 of 2 intervals), odd never
+    for i in range(10):
+        url = f"https://h{i % 2}.test/p{i}"
+        assert final.loc[url, "n_changes"] == (2 if i % 2 == 0 else 0)
