@@ -100,7 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_word_counts": _queries.q_cms_word_counts,
         "q_hll_distinct_users": _queries.q_hll_distinct_users,
         "q_span_media_align": _queries.q_span_media_align,
-        "q_sequence_packing": _queries.q_sequence_packing,
+        "q_dsir_select": _queries.q_dsir_select,
         "q_decontamination": _queries.q_decontamination,
         "q_stratified_sample": _queries.q_stratified_sample,
         "q_mix_weights": _queries.q_mix_weights,
@@ -136,7 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_pq": _queries.q_ann_pq,  # pq_topk ≡ q_ann_ivfpq with all lists probed (test-pinned equivalence) — rotated out for q_cms_merge_rollup (VERDICT r04 #3)
         "q_inverted_index": _queries.q_inverted_index,  # postings/df machinery ⊂ q_bm25 — rotated out for q_crawl_to_corpus (VERDICT r04 #4)
         "q_url_change_rates": _queries.q_url_change_rates,  # crawl/recrawl.py module gate; λ̂ recurrence ⊂ q_recrawl_schedule (page grain, IN the window)
-        "q_dsir_select": _queries.q_dsir_select,  # DSIR importance resampling (Xie 2023); hashed-feature machinery ⊂ q_text_features, hash-uniform draw ⊂ q_weighted_sample
+        "q_sequence_packing": _queries.q_sequence_packing,  # packing stage ⊂ q_crawl_to_corpus (window) and q_interleaved_pack (window) — rotated out for q_dsir_select (new data-selection family)
         "q_lineitem_pricing": _queries.q_lineitem_pricing,  # generic scan→agg pushdown shape ⊂ q_events_rollup/q_orders_top_customers (still bench HEADLINE)
         "q_ann_lsh": _queries.q_ann_lsh,               # ⊂ q_ann_lsh_multi
         "q_events_hourly": _queries.q_events_hourly,   # ⊂ q_events_rollup
