@@ -29,6 +29,46 @@ from sitecrawler_spark.kernel import urls_spark as K
 from sitecrawler_spark.queries import CFG
 from sitecrawler_spark.session import get_spark
 
+# The round driver keeps only the LAST 2000 characters of bench stdout and
+# json-parses them; round 4's line outgrew that and the whole round's bench
+# signal was lost (BENCH_r04.json parsed:null).  Budget below the cap so new
+# query keys can't silently push the line over again.
+STDOUT_BUDGET = 1900
+
+
+def fit_stdout_budget(headline: dict, budget: int = STDOUT_BUDGET) -> dict:
+    """Degrade the stdout headline until it fits the driver's tail capture.
+
+    Full-fidelity numbers always live in BENCH/detail_r{N}.json (the
+    "detail" key points there); the stdout line only needs the headline
+    totals plus as many per-query timings as fit.  Degradation order:
+    1) as-is  2) per-query dicts rounded to 1 decimal  3) pipeline_ops
+    collapsed to {n, total_sec}  4) dedup_ops collapsed the same way.
+    """
+    def fits(h):
+        return len(json.dumps(h)) + 1 <= budget  # +1 for the newline
+
+    if fits(headline):
+        return headline
+    h = dict(headline)
+    for key in ("queries", "dedup_ops", "pipeline_ops"):
+        if isinstance(h.get(key), dict):
+            h[key] = {k: round(v, 1) for k, v in h[key].items()}
+    if fits(h):
+        return h
+    for key in ("pipeline_ops", "dedup_ops"):
+        block = h.get(key)
+        if isinstance(block, dict) and block and "n" not in block:
+            h[key] = {"n": len(block),
+                      "total_sec": round(sum(block.values()), 1)}
+            if fits(h):
+                return h
+    # last resort: drop per-query detail entirely (still in detail file)
+    h["queries"] = {"n": len(headline["queries"]),
+                    "total_sec": round(sum(headline["queries"].values()), 1)}
+    return h
+
+
 HEADLINE = [
     "q_admission_filter", "q_url_clean", "q_url_normalize", "q_seen_antijoin",
     "q_frontier_dedup", "q_politeness_topk", "q_referrer_agg",
@@ -348,9 +388,12 @@ def main() -> None:
         "crawl_pages_per_sec": round(cr_rate, 2),
         "sf": sf,
         "cpus": cpus,
+        "detail": f"BENCH/detail_r{_this_round():02d}.json",
     }
+    full_headline = headline
+    headline = fit_stdout_budget(headline)
     detail = {
-        **headline,
+        **full_headline,
         "frontier_n": frontier_n,
         "frontier_admitted": fd_rows,
         "global_order_rows_per_sec": round(go_rate, 1),
