@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_reconstruct": _queries.q_span_reconstruct,
         "q_interleaved_pack": _queries.q_interleaved_pack,
         "q_boilerplate_strip": _queries.q_boilerplate_strip,
+        "q_line_dedup": _queries.q_line_dedup,
         "q_pii_redact": _queries.q_pii_redact,
         "q_winnow_pairs": _queries.q_winnow_pairs,
         "q_minhash_pairs": _queries.q_minhash_pairs,
@@ -97,7 +98,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_session_windows": _queries.q_events_session_windows,
         "q_events_asof_tolerance": _queries.q_events_asof_tolerance,
         "q_events_range_join": _queries.q_events_range_join,
-        "q_cms_word_counts": _queries.q_cms_word_counts,
         "q_hll_distinct_users": _queries.q_hll_distinct_users,
         "q_span_media_align": _queries.q_span_media_align,
         "q_dsir_select": _queries.q_dsir_select,
@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recrawl_schedule": _queries.q_recrawl_schedule,
         "q_sitemap_parse": _queries.q_sitemap_parse,
         # ---- entries 51+ (outside the driver's 50-query window) ----
+        "q_cms_word_counts": _queries.q_cms_word_counts,  # one-pass CMS build ⊂ q_cms_merge_rollup (builds the same partials, then merges)
         "q_tfidf_topterms": _queries.q_tfidf_topterms,  # tf/df agg ⊂ q_word_freq; per-doc top-k ⊂ q_politeness_topk
         "q_orders_top_customers": _queries.q_orders_top_customers,  # top-k agg ⊂ q_politeness_topk + q_lineitem_pricing
         "q_ngram_jaccard": _queries.q_ngram_jaccard,  # gram-overlap kernel ⊂ q_decontamination

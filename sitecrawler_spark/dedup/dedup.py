@@ -496,3 +496,45 @@ def winnow_pairs(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def line_dedup_keep_first(
+    lines: DataFrame,
+    doc_col: str = "doc_id",
+    pos_col: str = "line_id",
+    line_col: str = "line_text",
+) -> DataFrame:
+    """Corpus-WIDE line-level exact dedup (CCNet, Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", LREC 2020 §3.1): across ALL documents, only the FIRST
+    occurrence of each distinct line survives; every later repetition —
+    navigation chrome, cookie banners, boilerplate shared across hosts —
+    is dropped. Complements q_boilerplate_strip, which is per-HOST
+    frequency-threshold removal (drop everywhere when >20% of host
+    docs); CCNet's rule is global keep-first regardless of frequency.
+
+    Input: exploded lines (doc, pos, text). Output: the input plus a
+    boolean ``keep`` — True iff (doc, pos) is the lexicographic-minimum
+    occurrence of that line's 60-bit portable hash.
+
+    Distributed shape (100 TB): lines hash to a long key map-side; the
+    first-occurrence table is ONE groupBy(line_hash).min(struct) —
+    map-side combine collapses each partition to its distinct hashes, so
+    a line repeated 10^6 times costs one row per partition in the
+    shuffle, never a hot reducer. The flag comes from ONE long-keyed
+    join of the lines against that 1-row-per-hash table (AQE skew-join
+    splits any residual hot hash on the probe side) — no windows over
+    the hash (a window's per-key sort would put every occurrence of a
+    hot line on one task), and no second join back: the payload rides
+    the probe side."""
+    ex = lines.withColumn("_lh", portable_hash64(F.col(line_col)))
+    first = ex.groupBy("_lh").agg(
+        F.min(
+            F.struct(F.col(doc_col).alias("_d"), F.col(pos_col).alias("_p"))
+        ).alias("_fo")
+    )
+    keep = (
+        (F.col(doc_col) == F.col("_fo._d"))
+        & (F.col(pos_col) == F.col("_fo._p"))
+    ).alias("keep")
+    return ex.join(first, "_lh").select(*lines.columns, keep)

@@ -2537,6 +2537,41 @@ GROUP BY 1
 """
 
 
+# CCNet corpus-wide line keep-first (Wenzek 2020 §3.1): same `la` line
+# fixture as q_boilerplate_strip; keep rule = lexicographic-first
+# (doc_id, line_id) per 60-bit line hash, mirrored as a row_number
+# window (DuckDB-side only — the Spark plan uses agg+join, see
+# dedup.line_dedup_keep_first's skew note).
+ORACLES["q_line_dedup"] = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text,' ') AS ts FROM documents
+), la AS (
+  SELECT doc_id, source,
+    ['nav ' || source || ' home login'] ||
+    list_transform(range((len(ts)+7)//8),
+                   g -> array_to_string(list_slice(ts, g*8+1, g*8+8), ' ')) ||
+    ['footer ' || source || ' copyright contact'] AS ll
+  FROM t
+), l2 AS (
+  SELECT doc_id,
+         generate_subscripts(ll,1)-1 AS line_id, unnest(ll) AS line_text
+  FROM la
+), k AS (
+  SELECT doc_id, line_id, line_text,
+         row_number() OVER (
+           PARTITION BY ('0x' || substr(md5(line_text),1,15))::BIGINT
+           ORDER BY doc_id, line_id) AS rn
+  FROM l2
+)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       bit_xor(CASE WHEN rn = 1 THEN
+         ('0x' || substr(md5(line_id || ':' || line_text),1,15))::BIGINT
+       END) AS kept_hash
+FROM k GROUP BY 1
+"""
+
+
 ORACLES["q_pii_redact"] = """
 WITH a AS (
   SELECT doc_id,

@@ -2028,6 +2028,70 @@ def q_span_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synthetic_doc_lines(docs: DataFrame, line_tokens: int = 8) -> DataFrame:
+    """Deterministic doc→lines fixture shared by the line-granular gates
+    (q_boilerplate_strip, q_line_dedup): a per-source nav header, the
+    doc's 8-token text chunks, and a per-source footer — so cross-doc
+    duplicate lines exist at every sf. Map-only (posexplode); returns
+    (doc_id, source, line_id, line_text). Mirrored verbatim by the `la`
+    CTE in both oracles."""
+    L = line_tokens
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(L)).cast("int")
+    chunk_lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda g: F.array_join(F.slice(toks, g * L + 1, L), " "),
+    )
+    hdr = F.concat_ws(" ", F.lit("nav"), F.col("source"), F.lit("home login"))
+    ftr = F.concat_ws(
+        " ", F.lit("footer"), F.col("source"), F.lit("copyright contact")
+    )
+    lines = F.concat(F.array(hdr), chunk_lines, F.array(ftr))
+    return docs.select(
+        "doc_id", "source", F.posexplode(lines).alias("line_id", "line_text")
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level keep-first dedup (CCNet, Wenzek et al.,
+    LREC 2020 §3.1) over the shared synthetic line fixture: across the
+    WHOLE corpus each distinct line survives only at its first
+    (doc_id, line_id) occurrence — every later nav header, footer, and
+    repeated text chunk is dropped, regardless of host. Per-doc
+    summary: n_lines, n_kept, and a bit_xor hash of the kept
+    (line_id, line_text) payload so the gate pins exactly WHICH lines
+    survive, not just how many.
+
+    Plan (see dedup.line_dedup_keep_first): one map-side-combined
+    groupBy(line_hash).min(struct) — a line repeated 10^6 times costs
+    one shuffle row per partition — then a long-keyed join back and one
+    per-doc agg. No windows over the line hash."""
+    from sitecrawler_spark.dedup.dedup import line_dedup_keep_first
+
+    register_views(spark, sf_dir)
+    ex = synthetic_doc_lines(spark.table("documents"))
+    flagged = line_dedup_keep_first(ex)
+    kept_hash = F.when(
+        F.col("keep"),
+        K.portable_hash64(
+            F.concat(
+                F.col("line_id").cast("string"), F.lit(":"), F.col("line_text")
+            )
+        ),
+    )
+    return (
+        flagged.withColumn("_khash", kept_hash)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.expr("bit_xor(_khash)").alias("kept_hash"),
+        )
+    )
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host boilerplate line removal (the C4/RefinedWeb chrome
     strip): a doc's lines are a synthetic per-source nav header, its
@@ -2041,21 +2105,7 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentrates on one reducer at 100 TB."""
     register_views(spark, sf_dir)
     docs = spark.table("documents")
-    L = 8
-    toks = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(toks) / F.lit(L)).cast("int")
-    chunk_lines = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda g: F.array_join(F.slice(toks, g * L + 1, L), " "),
-    )
-    hdr = F.concat_ws(" ", F.lit("nav"), F.col("source"), F.lit("home login"))
-    ftr = F.concat_ws(
-        " ", F.lit("footer"), F.col("source"), F.lit("copyright contact")
-    )
-    lines = F.concat(F.array(hdr), chunk_lines, F.array(ftr))
-    ex = docs.select(
-        "doc_id", "source", F.posexplode(lines).alias("line_id", "line_text")
-    )
+    ex = synthetic_doc_lines(docs)
     stats = ex.groupBy("source", "line_text").agg(
         F.count_distinct("doc_id").alias("n_docs_line")
     )

@@ -893,3 +893,31 @@ def test_dsir_logweights_prefer_target_like_docs(spark):
     a_like = [lw[i] for i in range(10, 20)]
     b_like = [lw[i] for i in range(20, 30)]
     assert min(a_like) > max(b_like)
+
+
+def test_line_dedup_keep_first_global_rule(spark):
+    """CCNet keep-first (Wenzek 2020 §3.1): exactly one surviving
+    occurrence per distinct line, at the lexicographic-minimum
+    (doc, pos), across document and host boundaries."""
+    from sitecrawler_spark.dedup.dedup import line_dedup_keep_first
+
+    rows = [
+        (1, 0, "cookie banner"),
+        (1, 1, "unique alpha"),
+        (2, 0, "cookie banner"),   # dup of (1,0) -> dropped
+        (2, 1, "unique beta"),
+        (3, 0, "unique gamma"),
+        (3, 1, "cookie banner"),   # dup -> dropped
+        (3, 2, "unique alpha"),    # dup of (1,1) -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, line_id long, line_text string")
+    got = {
+        (r.doc_id, r.line_id): r.keep
+        for r in line_dedup_keep_first(df).collect()
+    }
+    assert len(got) == len(rows)  # flag, never drop rows
+    kept = {k for k, v in got.items() if v}
+    assert kept == {(1, 0), (1, 1), (2, 1), (3, 0)}
+    # every distinct line keeps exactly one occurrence
+    texts = dict(((d, p), t) for d, p, t in rows)
+    assert sorted(texts[k] for k in kept) == sorted(set(t for _, _, t in rows))
