@@ -108,13 +108,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": _queries.q_semantic_dedup,
         "q_gopher_quality": _queries.q_gopher_quality,
         "q_zorder_key": _queries.q_zorder_key,
-        "q_weighted_sample": _queries.q_weighted_sample,
+        "q_quality_classifier": _queries.q_quality_classifier,
         "q_opic": _queries.q_opic,
         "q_url_trap_score": _queries.q_url_trap_score,
         "q_recrawl_schedule": _queries.q_recrawl_schedule,
         "q_sitemap_parse": _queries.q_sitemap_parse,
         # ---- entries 51+ (outside the driver's 50-query window) ----
         "q_cms_word_counts": _queries.q_cms_word_counts,  # one-pass CMS build ⊂ q_cms_merge_rollup (builds the same partials, then merges)
+        "q_weighted_sample": _queries.q_weighted_sample,  # Gumbel-key sampler kernel ⊂ q_dsir_select (same portable-hash Gumbel top-k)
         "q_tfidf_topterms": _queries.q_tfidf_topterms,  # tf/df agg ⊂ q_word_freq; per-doc top-k ⊂ q_politeness_topk
         "q_orders_top_customers": _queries.q_orders_top_customers,  # top-k agg ⊂ q_politeness_topk + q_lineitem_pricing
         "q_ngram_jaccard": _queries.q_ngram_jaccard,  # gram-overlap kernel ⊂ q_decontamination

@@ -2159,6 +2159,76 @@ ORDER BY sel_key DESC, doc_id LIMIT 64
 """
 
 
+def logreg_oracle(label_sql: str = "lang = 'en'") -> str:
+    """Generated oracle for q_quality_classifier: the whole batch-GD
+    logistic-regression training loop unrolled as SQL CTEs, one
+    (margin, residual, gradient, weight-update) block per iteration —
+    hyperparameters read from queries.QUALITY_CLF so query and oracle
+    cannot drift (the bm25_oracle pattern). Mirrors
+    textops/classifier.py step for step: exact BIGINT margins and
+    gradients; the sigmoid is the only float op and is rounded straight
+    back to micro-units."""
+    from sitecrawler_spark.queries import QUALITY_CLF
+
+    d = QUALITY_CLF["n_buckets"]
+    k = QUALITY_CLF["n_iters"]
+    lr = QUALITY_CLF["lr"]
+    ctes = [
+        f"""base AS (
+  SELECT doc_id AS id, CASE WHEN {label_sql} THEN 1 ELSE 0 END AS y,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+)""",
+        f"""feats AS (
+  SELECT id, y, b, 1::BIGINT AS c FROM (
+    SELECT DISTINCT id, y,
+           ('0x' || substr(md5(g), 1, 15))::BIGINT % {d} AS b
+    FROM (SELECT id, y,
+                 unnest(list_concat(
+                   t,
+                   CASE WHEN len(t) >= 2
+                        THEN list_transform(range(1, len(t)),
+                                            i -> t[i] || ' ' || t[i + 1])
+                        ELSE [] END)) AS g
+          FROM base))
+  UNION ALL
+  SELECT id, y, -1 AS b, 1::BIGINT AS c FROM base
+)""",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM base)",
+        f"w0 AS (SELECT unnest(range(-1, {d}))::INT AS b, 0::BIGINT AS w)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(f"""m{i} AS (
+  SELECT f.id, f.y, sum(f.c * w.w)::BIGINT AS mm
+  FROM feats f JOIN w{i - 1} w USING (b) GROUP BY 1, 2
+),
+r{i} AS (
+  SELECT id,
+         round(1e6 * (1.0 / (1.0 + exp(-(mm / 1000000.0))) - y))::BIGINT
+           AS r
+  FROM m{i}
+),
+g{i} AS (
+  SELECT f.b, sum(f.c * r.r)::BIGINT AS g
+  FROM feats f JOIN r{i} r USING (id) GROUP BY 1
+),
+w{i} AS (
+  SELECT w.b, (w.w - round({lr} * coalesce(g.g, 0) / nn.n))::BIGINT AS w
+  FROM w{i - 1} w LEFT JOIN g{i} g USING (b), nn
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+mf AS (
+  SELECT f.id, f.y, sum(f.c * w.w)::BIGINT AS mm
+  FROM feats f JOIN w{k} w USING (b) GROUP BY 1, 2
+)
+SELECT id AS doc_id, y, mm AS margin_micro, mm > 0 AS pred FROM mf"""
+    )
+
+
+ORACLES["q_quality_classifier"] = logreg_oracle()
+
+
 # the MODULE gate for crawl/recrawl.change_rates_from_history — same
 # derived history as q_recrawl_schedule but keyed by synthetic URL/host
 # and fingerprint (fp = content version); `+ 0.0` mirrors the module's

@@ -1904,6 +1904,36 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared train hyperparameters for q_quality_classifier — the oracle
+# generator (oracles.logreg_oracle) reads THESE, so query and oracle
+# cannot drift (the bm25_oracle rationale from ADVICE r04).
+QUALITY_CLF = {"n_buckets": 1024, "n_iters": 8, "lr": 2.0}
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality-classifier filter (GPT-3 Appendix A / fastText):
+    hashed-unigram logistic regression trained by distributed batch GD
+    to separate English docs (y = lang='en') from the rest, then every
+    doc scored under the final weights. The ORACLE re-runs the whole
+    training loop as unrolled SQL CTEs — the gate pins the trainer, not
+    just the scorer (the q_ann_kmeans precedent for iterative fits).
+    All sums are exact integer micro-units; the only float op is the
+    per-doc sigmoid, rounded straight back to a long (classifier.py's
+    determinism contract)."""
+    from sitecrawler_spark.textops.classifier import train_logreg_hashed
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_en")
+    )
+    _, scored = train_logreg_hashed(
+        docs, "text", "is_en", "doc_id", **QUALITY_CLF
+    )
+    return scored.select(
+        F.col("id").alias("doc_id"), "y", "margin_micro", "pred"
+    )
+
+
 def bpe_corpus() -> list[tuple[str, int]]:
     """Deterministic synthetic word-frequency corpus for the BPE gate —
     sf-independent shared INPUT (the crawl_e2e synthetic-site pattern;

@@ -921,3 +921,48 @@ def test_line_dedup_keep_first_global_rule(spark):
     # every distinct line keeps exactly one occurrence
     texts = dict(((d, p), t) for d, p, t in rows)
     assert sorted(texts[k] for k in kept) == sorted(set(t for _, _, t in rows))
+
+
+def test_logreg_classifier_learns_separable_corpus(spark):
+    """A linearly separable hand corpus (positives say 'quality prose
+    clean', negatives say 'spam casino pills') must reach 100% train
+    accuracy in a few GD steps, with margins moving the right way."""
+    from sitecrawler_spark.textops.classifier import train_logreg_hashed
+
+    rows = []
+    for i in range(24):
+        if i % 2 == 0:
+            rows.append((i, "quality prose clean grammar careful writing", 1))
+        else:
+            rows.append((i, "spam casino pills click winner free offer", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w, scored = train_logreg_hashed(
+        df, "text", "y", "doc_id", n_buckets=32, n_iters=4, lr=1.0
+    )
+    got = scored.collect()
+    assert len(got) == 24
+    assert all((r.margin_micro > 0) == (r.y == 1) for r in got)
+    assert all(r.pred == (r.y == 1) for r in got)
+    # bias + 32 feature rows, all integer micro-units
+    assert w.count() == 33
+
+
+def test_logreg_training_is_partition_layout_invariant(spark):
+    """The determinism contract: exact long margins/gradients mean the
+    trained weights are IDENTICAL whatever the input partitioning."""
+    from sitecrawler_spark.textops.classifier import train_logreg_hashed
+
+    rows = [
+        (i, f"tok{i % 7} tok{i % 3} filler word number {i % 5}", i % 2)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w1, _ = train_logreg_hashed(
+        df.repartition(1), n_buckets=16, n_iters=3, label_col="y"
+    )
+    w8, _ = train_logreg_hashed(
+        df.repartition(8, "text"), n_buckets=16, n_iters=3, label_col="y"
+    )
+    assert sorted((r.b, r.w_micro) for r in w1.collect()) == sorted(
+        (r.b, r.w_micro) for r in w8.collect()
+    )
