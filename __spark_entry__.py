@@ -77,13 +77,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interleaved_pack": _queries.q_interleaved_pack,
         "q_boilerplate_strip": _queries.q_boilerplate_strip,
         "q_line_dedup": _queries.q_line_dedup,
+        "q_exact_substr": _queries.q_exact_substr,
         "q_pii_redact": _queries.q_pii_redact,
         "q_winnow_pairs": _queries.q_winnow_pairs,
         "q_minhash_pairs": _queries.q_minhash_pairs,
         "q_simhash_pairs": _queries.q_simhash_pairs,
         "q_training_pipeline": _queries.q_training_pipeline,
         "q_pagerank": _queries.q_pagerank,
-        "q_hits": _queries.q_hits,
         "q_lm_score": _queries.q_lm_score,
         "q_media_meta": _queries.q_media_meta,
         "q_ann_kmeans": _queries.q_ann_kmeans,
@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries 51+ (outside the driver's 50-query window) ----
         "q_cms_word_counts": _queries.q_cms_word_counts,  # one-pass CMS build ⊂ q_cms_merge_rollup (builds the same partials, then merges)
         "q_weighted_sample": _queries.q_weighted_sample,  # Gumbel-key sampler kernel ⊂ q_dsir_select (same portable-hash Gumbel top-k)
+        "q_hits": _queries.q_hits,  # unrolled link recurrence ⊂ q_pagerank + q_opic (both retained in-window)
         "q_tfidf_topterms": _queries.q_tfidf_topterms,  # tf/df agg ⊂ q_word_freq; per-doc top-k ⊂ q_politeness_topk
         "q_orders_top_customers": _queries.q_orders_top_customers,  # top-k agg ⊂ q_politeness_topk + q_lineitem_pricing
         "q_ngram_jaccard": _queries.q_ngram_jaccard,  # gram-overlap kernel ⊂ q_decontamination

@@ -538,3 +538,117 @@ def line_dedup_keep_first(
         & (F.col(pos_col) == F.col("_fo._p"))
     ).alias("keep")
     return ex.join(first, "_lh").select(*lines.columns, keep)
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    l_tokens: int = 8,
+) -> DataFrame:
+    """ExactSubstr dedup at token-L-gram granularity (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL
+    2022 §4.1): any token run of length ≥ L that appears at more than
+    one (doc, pos) is removed from every occurrence EXCEPT the
+    lexicographic-first one; overlapping/adjacent removal windows merge
+    into maximal islands. L-gram granularity is the deliberate
+    simplification of the paper's suffix-array construction: a shared
+    run of length s ≥ L is covered by its s−L+1 duplicated L-grams, so
+    the merged islands equal the suffix-array answer for runs ≥ L (the
+    winnow_fingerprints ≥k+w−1 rationale); runs shorter than L are
+    below the dedup threshold by definition.
+
+    Returns per-doc maximal removal islands (id, island, start, end) —
+    end exclusive, token offsets. Empty result for docs with no
+    duplicated span.
+
+    Distributed shape (100 TB): the rolling L-gram fingerprint array is
+    built map-side per doc (no explode-then-window); first-occurrence +
+    multiplicity is ONE groupBy(fp).min(struct) with map-side combine;
+    fps seen once — the overwhelming majority — are dropped BEFORE the
+    join back, so the join touches only duplicated fingerprints. The
+    island merge is a per-doc window (bounded by doc length, never by
+    corpus size)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # guard: F.sequence(0, negative) DESCENDS — short docs must yield
+    # an empty fingerprint array (the dsir_logweights bigram rule)
+    fp_arr = F.when(
+        n >= l_tokens,
+        F.transform(
+            F.sequence(F.lit(0), n - l_tokens),
+            lambda i: portable_hash64(
+                F.array_join(F.slice(toks, i + 1, l_tokens), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    occ = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(fp_arr).alias("pos", "fp")
+    )
+    dup_first = (
+        occ.groupBy("fp")
+        .agg(F.min(F.struct("id", "pos")).alias("_fo"),
+             F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") > 1)
+    )
+    marked = (
+        occ.join(dup_first, "fp")
+        .filter(
+            ~(
+                (F.col("id") == F.col("_fo.id"))
+                & (F.col("pos") == F.col("_fo.pos"))
+            )
+        )
+        .select(
+            "id",
+            F.col("pos").alias("start"),
+            (F.col("pos") + l_tokens).alias("end"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy("start", "end")
+    prev_max = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        marked.withColumn(
+            "_new",
+            F.when(
+                prev_max.isNull() | (F.col("start") > prev_max), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("_new").over(w))
+        .groupBy("id", "island")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+    )
+
+
+def remove_spans(
+    docs: DataFrame,
+    islands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply exact_substring_spans' removal islands: drop every token
+    whose position falls inside an island, rejoin the survivors with
+    single spaces. Docs without islands pass through untouched. The
+    per-doc island list is collected into ONE array column (bounded by
+    doc length / l_tokens) and applied with JVM higher-order functions
+    — no explode of the token stream, no Python."""
+    isl_agg = islands.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("start", "end"))).alias("_isl")
+    )
+    j = docs.join(
+        isl_agg, docs[id_col] == isl_agg["id"], "left"
+    ).drop("id")
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_isl"),
+            lambda s: (i >= s["start"]) & (i < s["end"]),
+        ),
+    )
+    out = F.when(F.col("_isl").isNull(), F.col(text_col)).otherwise(
+        F.array_join(kept, " ")
+    )
+    return j.withColumn(text_col, out).drop("_isl")

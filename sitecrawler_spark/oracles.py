@@ -2607,6 +2607,52 @@ GROUP BY 1
 """
 
 
+# ExactSubstr dedup (Lee et al. 2022 §4.1) at 8-gram granularity:
+# rolling 60-bit fingerprints per position, keep-first per fingerprint
+# via row_number (DuckDB-side only; the Spark plan uses a pre-filtered
+# agg+join — see dedup.exact_substring_spans), then the classic
+# gaps-and-islands merge. Island ids are 1-based cumulative sums in
+# (start, end) order, matching the Spark window exactly.
+ORACLES["q_exact_substr"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text,' ') AS ts FROM documents
+), occ AS (
+  SELECT doc_id, generate_subscripts(fps, 1) - 1 AS pos, unnest(fps) AS fp
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(ts) >= 8 THEN
+             list_transform(range(len(ts) - 7),
+               i -> ('0x' || substr(md5(
+                      array_to_string(list_slice(ts, i + 1, i + 8), ' ')
+                    ), 1, 15))::BIGINT)
+           ELSE [] END AS fps
+    FROM t)
+), mk AS (
+  SELECT doc_id, pos AS s, pos + 8 AS e FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn,
+           count(*) OVER (PARTITION BY fp) AS cnt
+    FROM occ)
+  WHERE cnt > 1 AND rn > 1
+), isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_max
+    FROM mk)
+)
+SELECT doc_id, island::BIGINT AS island,
+       min(s)::BIGINT AS start, max(e)::BIGINT AS "end"
+FROM isl GROUP BY doc_id, island
+"""
+
+
 # CCNet corpus-wide line keep-first (Wenzek 2020 §3.1): same `la` line
 # fixture as q_boilerplate_strip; keep rule = lexicographic-first
 # (doc_id, line_id) per 60-bit line hash, mirrored as a row_number

@@ -2122,6 +2122,32 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al., ACL 2022 §4.1) at 8-token-gram
+    granularity over the documents table: every duplicated token run
+    of length ≥ 8 is marked for removal at all but its lexicographic-
+    first occurrence; overlapping/adjacent marks merge into maximal
+    per-doc islands. Output = one row per island (doc_id, island,
+    start, end) — pinning exact removal boundaries, not just counts.
+    The fixture has ~1000 naturally duplicated 8-grams (repeated
+    passages across docs), so the gate exercises real cross-doc and
+    within-doc repeats. Plan (dedup.exact_substring_spans): map-side
+    rolling fingerprints, one fp agg with map-side combine, join back
+    restricted to duplicated fps only, per-doc island-merge window."""
+    from sitecrawler_spark.dedup.dedup import exact_substring_spans
+
+    register_views(spark, sf_dir)
+    islands = exact_substring_spans(
+        spark.table("documents"), "text", "doc_id", l_tokens=8
+    )
+    return islands.select(
+        F.col("id").alias("doc_id"),
+        F.col("island").cast("long").alias("island"),
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+    )
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host boilerplate line removal (the C4/RefinedWeb chrome
     strip): a doc's lines are a synthetic per-source nav header, its

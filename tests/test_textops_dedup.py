@@ -966,3 +966,37 @@ def test_logreg_training_is_partition_layout_invariant(spark):
     assert sorted((r.b, r.w_micro) for r in w1.collect()) == sorted(
         (r.b, r.w_micro) for r in w8.collect()
     )
+
+
+def test_exact_substring_spans_and_removal(spark):
+    """ExactSubstr (Lee 2022): hand-checkable corpus — cross-doc shared
+    run, full-copy doc, within-doc repeat — must produce exactly the
+    expected maximal islands, and applying remove_spans leaves a corpus
+    with NO remaining duplicated L-gram."""
+    from sitecrawler_spark.dedup.dedup import (
+        exact_substring_spans,
+        remove_spans,
+    )
+
+    d1 = "a b c d e f g h i j"                     # first occurrence, kept
+    d2 = "p q a b c d e f g h r s"                 # shares a..h -> [2,10)
+    d3 = d1                                        # full copy -> [0,10)
+    d4 = "m n o p2 q2 r2 s2 t u v m n o p2 q2 r2 s2 t"  # self-repeat -> [10,18)
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string"
+    )
+    isl = exact_substring_spans(df, "text", "doc_id", l_tokens=8)
+    got = {(r.id, r.start, r.end) for r in isl.collect()}
+    assert got == {(2, 2, 10), (3, 0, 10), (4, 10, 18)}
+
+    cleaned = remove_spans(df, isl)
+    texts = {r.doc_id: r.text for r in cleaned.collect()}
+    assert texts[1] == d1
+    assert texts[2] == "p q r s"
+    assert texts[3] == ""
+    assert texts[4] == "m n o p2 q2 r2 s2 t u v"
+    # idempotence: no duplicated 8-gram survives the removal
+    again = exact_substring_spans(
+        cleaned.filter(F.length("text") > 0), "text", "doc_id", l_tokens=8
+    )
+    assert again.count() == 0
