@@ -366,7 +366,9 @@ def main() -> None:
                  "q_ann_ivfpq", "q_ann_ivfpq_residual", "q_bm25",
                  "q_hll_merge_rollup", "q_cms_merge_rollup",
                  "q_crawl_to_corpus", "q_url_change_rates",
-                 "q_dsir_select"):
+                 "q_dsir_select",
+                 "q_line_dedup", "q_quality_classifier",
+                 "q_exact_substr"):
         pipeline[name] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )
