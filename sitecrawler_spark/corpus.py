@@ -91,6 +91,51 @@ def quality_gate(docs: DataFrame) -> DataFrame:
     ).drop("_mwl", "_stops")
 
 
+def heuristic_quality_labels(docs: DataFrame) -> DataFrame:
+    """The quality_gate predicate as a 0/1 LABEL column (_y) instead of
+    a hard filter — the pseudo-label source for classifier_filter."""
+    scored = docs.select(
+        "*",
+        TX.quality_score(F.col("text")).alias("_q"),
+        TX.lang_id(F.col("text")).alias("_lang"),
+        TX.token_count_ws(F.col("text")).cast("long").alias("_nt"),
+        TX.mean_word_len(F.col("text")).alias("_mwl"),
+        TX.stopword_hits(F.col("text"), "en").cast("long").alias("_stops"),
+    )
+    y = (
+        (F.col("_q") >= 0.5)
+        & (F.col("_lang") == "en")
+        & (F.col("_nt") >= 20)
+        & (F.col("_mwl") >= 3.0)
+        & (F.col("_mwl") <= 10.0)
+        & (F.col("_stops") >= 2)
+    )
+    return scored.withColumn("_y", y.cast("int")).drop(
+        "_q", "_lang", "_nt", "_mwl", "_stops"
+    )
+
+
+def classifier_filter(docs: DataFrame, **clf_kwargs) -> DataFrame:
+    """GPT-3-style trained quality filter (Brown et al. 2020 Appendix
+    A), bootstrapped by weak supervision: pseudo-labels come from the
+    Gopher-style heuristic gate, a hashed-presence logistic regression
+    (textops/classifier.py) is trained on them, and docs keep their
+    place iff the TRAINED model's margin is positive. Unlike the hard
+    heuristic filter, the learned decision boundary generalizes —
+    documents the heuristics misjudge but that look like high-quality
+    text (and vice versa) cross sides. Same distributed shape as
+    q_quality_classifier: broadcast model, exact long margins, no
+    row-data collects."""
+    from sitecrawler_spark.textops.classifier import train_logreg_hashed
+
+    labeled = heuristic_quality_labels(docs)
+    _, scored = train_logreg_hashed(
+        labeled, "text", "_y", "doc_id", **clf_kwargs
+    )
+    keep = scored.filter(F.col("pred")).select(F.col("id").alias("doc_id"))
+    return docs.join(keep, "doc_id")
+
+
 def dedup_canonical(docs: DataFrame) -> DataFrame:
     """Exact dedup (keep lowest doc_id per normalized text) then
     minhash-LSH near-dup clustering (16 hashes / 4 bands of 4 / 5-char
@@ -172,6 +217,43 @@ def pack_sequences(docs: DataFrame, budget: int = 128) -> DataFrame:
     )
 
 
+def dedup_lines_global(docs: DataFrame) -> DataFrame:
+    """Optional CCNet stage over the raw (doc_id, host, lines) input:
+    corpus-WIDE keep-first line dedup (Wenzek 2020 §3.1) BEFORE the
+    per-host frequency strip — repeated lines vanish everywhere but
+    their first (doc_id, line_id) occurrence, across host boundaries.
+    Docs whose every line is a repeat drop out."""
+    from sitecrawler_spark.dedup.dedup import line_dedup_keep_first
+
+    ex = docs.select(
+        "doc_id", "host", F.posexplode("lines").alias("line_id", "line")
+    )
+    flagged = line_dedup_keep_first(ex, "doc_id", "line_id", "line")
+    return (
+        flagged.filter(F.col("keep"))
+        .groupBy("doc_id", "host")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_id", "line"))),
+                lambda x: x["line"],
+            ).alias("lines")
+        )
+    )
+
+
+def dedup_substrings(docs: DataFrame, l_tokens: int = 8) -> DataFrame:
+    """Optional ExactSubstr stage (Lee 2022) on (…, text) docs:
+    duplicated token runs ≥ l_tokens are cut from all but their first
+    occurrence (maximal-island removal), docs left empty drop out."""
+    from sitecrawler_spark.dedup.dedup import (
+        exact_substring_spans,
+        remove_spans,
+    )
+
+    islands = exact_substring_spans(docs, "text", "doc_id", l_tokens)
+    return remove_spans(docs, islands).filter(F.length("text") > 0)
+
+
 def training_corpus(
     docs: DataFrame,
     *,
@@ -179,12 +261,32 @@ def training_corpus(
     eval_mod: int = 11,
     gram_n: int = 8,
     pack_budget: int = 128,
+    line_dedup: bool = False,
+    substr_dedup: bool = False,
+    trained_filter: bool = False,
+    clf_kwargs: dict | None = None,
 ) -> DataFrame:
     """Full pipeline over (doc_id:long, host:string,
     lines:array<string>) — see module docstring. Returns one row per
-    packed training sequence."""
+    packed training sequence.
+
+    Optional stages (default off — the q_crawl_to_corpus gate pins the
+    default composition): ``line_dedup`` inserts the CCNet corpus-wide
+    keep-first line pass before the per-host strip; ``trained_filter``
+    REPLACES the hard heuristic gate with the GPT-3-style trained
+    classifier (pseudo-labeled by those same heuristics);
+    ``substr_dedup`` adds ExactSubstr span removal after canonical
+    dedup (full/near dups are gone by then — what remains is partial
+    overlap, exactly the span case)."""
+    if line_dedup:
+        docs = dedup_lines_global(docs)
     stripped = strip_boilerplate(docs, min_docs=boiler_min_docs)
-    gated = quality_gate(stripped)
+    if trained_filter:
+        gated = classifier_filter(stripped, **(clf_kwargs or {}))
+    else:
+        gated = quality_gate(stripped)
     canon = dedup_canonical(gated)
+    if substr_dedup:
+        canon = dedup_substrings(canon, l_tokens=gram_n)
     clean = decontaminate(canon, eval_mod=eval_mod, gram_n=gram_n)
     return pack_sequences(clean, budget=pack_budget)

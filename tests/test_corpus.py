@@ -107,3 +107,35 @@ def test_training_corpus_cross_host_mirror_collapses(spark):
     rows = dupes.collect()
     assert rows, "fixture must contain post-strip exact duplicates"
     assert any(r["nhosts"] > 1 for r in rows), "…including cross-host"
+
+
+def test_optional_corpus_stages_compose(spark):
+    """Round-5b optional stages: CCNet global line dedup leaves every
+    surviving line corpus-unique; ExactSubstr leaves no duplicated
+    8-gram among survivors; the trained classifier filter keeps a
+    nonempty subset; and the full pipeline with every option on still
+    packs sequences."""
+    from sitecrawler_spark.dedup.dedup import exact_substring_spans
+
+    eng, docs = _crawled_docs(spark)
+    n_docs = docs.count()
+
+    ld = C.dedup_lines_global(docs)
+    ex = ld.select(F.explode("lines").alias("line"))
+    assert ex.groupBy("line").count().filter("count > 1").count() == 0
+    assert 0 < ld.count() <= n_docs
+
+    stripped = C.strip_boilerplate(docs)
+    clf = {"n_buckets": 256, "n_iters": 6, "lr": 2.0}
+    tf = C.classifier_filter(stripped, **clf)
+    assert 0 < tf.count() <= stripped.count()
+
+    canon = C.dedup_canonical(C.quality_gate(stripped))
+    sd = C.dedup_substrings(canon, l_tokens=8)
+    assert exact_substring_spans(sd, "text", "doc_id", 8).count() == 0
+
+    seqs = C.training_corpus(
+        docs, line_dedup=True, substr_dedup=True,
+        trained_filter=True, clf_kwargs=clf,
+    )
+    assert seqs.count() > 0
