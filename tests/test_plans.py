@@ -417,3 +417,30 @@ def test_dsir_select_plan_shapes(spark):
     # the 1-row totals aggregate (a scalar, not row data)
     assert "Window" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_r5b_dedup_classifier_plan_shapes(spark):
+    """Round-5b plan pins. q_line_dedup: the keep flag comes from the
+    agg+join shape — no Window over the line hash (hot-line skew); one
+    hash Exchange feeds the first-occurrence agg (min(struct) is not
+    hash-aggregable, so it surfaces as a [Sort]Aggregate pair, still
+    with a partial map-side phase). q_exact_substr: the only Window
+    partitions by doc id (island merge), never by fingerprint; no
+    Python eval nodes anywhere. q_quality_classifier: the 1025-row
+    model enters every margin join as a broadcast."""
+    import re
+
+    sf = "/root/testdata/sf0.001"
+
+    p = _plan(Q.q_line_dedup(spark, sf))
+    assert "Window" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = _plan(Q.q_exact_substr(spark, sf))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    wins = re.findall(r"Arguments: .*windowspecdefinition\((\w+)#", p)
+    assert wins and all(v == "id" for v in wins), wins
+
+    p = _plan(Q.q_quality_classifier(spark, sf))
+    assert "BroadcastHashJoin" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
