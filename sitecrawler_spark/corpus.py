@@ -187,6 +187,51 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    eval_mod: int = 11,
+    gram_n: int = 8,
+    fpp: float = 0.01,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """EXACT-set decontamination with the eval-gram set routed through
+    the engine's sharded bloom filter (operators/seen.py) instead of a
+    broadcast — the 100 TB path when the held-out slice outgrows a
+    broadcast table. Same semantics as ``decontaminate`` (equivalence
+    test-pinned): bloom negatives are DEFINITE, so the corpus gram
+    stream shrinks map-side to the ~fpp false-positive tail plus true
+    hits before the exact verify semi-join — anti_join_seen's
+    prefilter pattern applied to decontamination. The shuffle is
+    |bloom survivors|, not |corpus grams|."""
+    from sitecrawler_spark.operators.seen import SparkBloomFilter
+
+    ts = F.split(F.col("text"), " ")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - (gram_n - 1)),
+        lambda j: F.concat_ws(" ", F.slice(ts, j, gram_n)),
+    )
+    grams = docs.filter(F.size(ts) >= gram_n).select(
+        "doc_id", F.explode(grams_arr).alias("g")
+    )
+    evalg = (
+        grams.filter(F.col("doc_id") % eval_mod == 0)
+        .select("g")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_eval = evalg.count()
+    bloom = SparkBloomFilter.sized(
+        docs.sparkSession, max(n_eval, 1), fpp, n_shards=n_shards
+    )
+    bloom.add_df(evalg, "g")
+    train = grams.filter(F.col("doc_id") % eval_mod != 0)
+    maybe = train.filter(bloom.maybe_contains(F.col("g")))
+    contaminated = maybe.join(evalg, "g").select("doc_id").distinct()
+    return docs.filter(F.col("doc_id") % eval_mod != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+
 def pack_sequences(docs: DataFrame, budget: int = 128) -> DataFrame:
     """Concat-and-split packing per host in doc_id order at a
     ``budget``-token boundary (a doc belongs to the sequence its first

@@ -1188,6 +1188,12 @@ GROUP BY 1
 """
 
 
+# the bloom-routed variant is EXACT by construction (bloom negatives
+# definite, positives re-verified) — its oracle IS the broadcast
+# path's, turning the no-broadcast scale route into a gated equivalence
+ORACLES["q_decontaminate_bloom"] = ORACLES["q_decontamination"]
+
+
 ORACLES["q_stratified_sample"] = """
 WITH h AS (
   SELECT lang, doc_id,

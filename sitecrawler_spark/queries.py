@@ -633,6 +633,43 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_decontamination's contamination report computed through the
+    SHARDED-BLOOM route (corpus.decontaminate_bloom): eval grams build
+    the engine's bloom filter, the training gram stream is prefiltered
+    map-side (bloom negatives are definite), and only survivors reach
+    the exact verify join. Identical results by construction — the
+    oracle IS q_decontamination's — making the 100 TB no-broadcast
+    path a driver-gated equivalence, not a claim."""
+    from sitecrawler_spark.operators.seen import SparkBloomFilter
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    ts = F.split(F.col("text"), " ")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - 2),
+        lambda j: F.concat_ws(" ", F.slice(ts, j, 3)),
+    )
+    grams = docs.filter(F.size(ts) >= 3).select(
+        "doc_id", F.explode(grams_arr).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select("g")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bloom = SparkBloomFilter.sized(spark, max(bench.count(), 1), fpp=0.01)
+    bloom.add_df(bench, "g")
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .filter(bloom.maybe_contains(F.col("g")))
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: top-3 docs per language by
     portable md5 hash order — hash-order sampling is reproducible

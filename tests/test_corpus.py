@@ -139,3 +139,19 @@ def test_optional_corpus_stages_compose(spark):
         trained_filter=True, clf_kwargs=clf,
     )
     assert seqs.count() > 0
+
+
+def test_decontaminate_bloom_exact_equivalence(spark, sf_dir):
+    """The bloom-routed decontamination path must return EXACTLY the
+    broadcast path's surviving doc set (bloom negatives are definite;
+    positives are re-verified), while the prefilter genuinely prunes
+    the gram stream before the join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = {r.doc_id for r in C.decontaminate(docs, 11, 8).collect()}
+    via_bloom = {
+        r.doc_id for r in C.decontaminate_bloom(docs, 11, 8).collect()
+    }
+    assert via_bloom == base
+    assert 0 < len(base) < docs.count()
