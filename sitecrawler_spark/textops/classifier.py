@@ -69,16 +69,23 @@ def hashed_presence_features(
                                   F.element_at(toks, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    gb = docs.select(
+    # per-doc presence == per-row distinct, so dedup happens MAP-SIDE
+    # inside the bucket array — no corpus-wide distinct shuffle, and
+    # the whole feature build is a single narrow stage (also what lets
+    # score_docs run on an unbounded STREAM, where chained
+    # aggregations are prohibited)
+    buckets = F.array_distinct(
+        F.transform(
+            F.concat(toks, bigrams),
+            lambda g: F.pmod(portable_hash64(g), F.lit(n_buckets))
+            .cast("int"),
+        )
+    )
+    presence = docs.select(
         F.col(id_col).alias("id"),
         F.col(label_col).cast("int").alias("y"),
-        F.explode(F.concat(toks, bigrams)).alias("g"),
-    ).select(
-        "id", "y",
-        F.pmod(portable_hash64(F.col("g")), F.lit(n_buckets))
-        .cast("int").alias("b"),
-    )
-    presence = gb.distinct().withColumn("c", F.lit(1).cast("long"))
+        F.explode(buckets).alias("b"),
+    ).withColumn("c", F.lit(1).cast("long"))
     bias = docs.select(
         F.col(id_col).alias("id"),
         F.col(label_col).cast("int").alias("y"),
@@ -169,3 +176,32 @@ def train_logreg_hashed(
         (F.col("m_micro") > 0).alias("pred"),
     )
     return w, scored
+
+
+def score_docs(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Score documents under a TRAINED model (train offline, score
+    online): per-doc (id, margin_micro, pred) from a (b, w_micro)
+    weights table. The whole plan is map-side feature build → one
+    broadcast join → ONE aggregation, so it runs unchanged on an
+    unbounded STREAM (readStream docs + static weights; Spark permits
+    exactly one aggregation per streaming query) — the live-crawl
+    quality filter. Margins are the same exact long sums as training,
+    so batch and stream scores are bit-identical (parity test-pinned).
+    ``n_buckets`` must match the trained model's."""
+    feats = hashed_presence_features(
+        docs.withColumn("_y0", F.lit(0)), text_col, "_y0", id_col, n_buckets
+    ).drop("y")
+    return (
+        feats.join(F.broadcast(weights), "b")
+        .groupBy("id")
+        .agg(F.sum(F.col("c") * F.col("w_micro")).alias("margin_micro"))
+        .select(
+            "id", "margin_micro", (F.col("margin_micro") > 0).alias("pred")
+        )
+    )

@@ -379,3 +379,46 @@ def test_streaming_change_rates_matches_batch_and_ignores_replay(
     for i in range(10):
         url = f"https://h{i % 2}.test/p{i}"
         assert final.loc[url, "n_changes"] == (2 if i % 2 == 0 else 0)
+
+
+def test_streaming_quality_scores_match_batch(spark, tmp_path, sf_dir):
+    """Train offline, score online: a batch-trained quality classifier
+    scores an unbounded document stream (map-side features → broadcast
+    weights join → ONE Complete-mode aggregation) with margins
+    bit-identical to batch scoring AND to the margins the trainer
+    itself reported — the live-crawl quality filter."""
+    from sitecrawler_spark.streaming.stream_ops import run_to_memory
+    from sitecrawler_spark.textops.classifier import (
+        score_docs,
+        train_logreg_hashed,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", (F.col("lang") == "en").alias("is_en"))
+    )
+    clf = {"n_buckets": 256, "n_iters": 3, "lr": 2.0}
+    w, scored = train_logreg_hashed(docs, "text", "is_en", "doc_id", **clf)
+    w = w.localCheckpoint(eager=True)
+
+    d = str(tmp_path / "docs_feed")
+    docs.select("doc_id", "text").write.parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    out = score_docs(stream, w, n_buckets=clf["n_buckets"])
+    run_to_memory(out, "stream_scores", mode="complete")
+
+    got = {
+        r.id: (r.margin_micro, r.pred)
+        for r in spark.table("stream_scores").collect()
+    }
+    exp_batch = {
+        r.id: (r.margin_micro, r.pred)
+        for r in score_docs(
+            docs.select("doc_id", "text"), w, n_buckets=clf["n_buckets"]
+        ).collect()
+    }
+    exp_train = {
+        r.id: (r.margin_micro, r.pred) for r in scored.collect()
+    }
+    assert got == exp_batch == exp_train
+    assert len(got) == docs.count()
