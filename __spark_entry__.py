@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": _queries.q_weighted_sample,  # Gumbel-key sampler kernel ⊂ q_dsir_select (same portable-hash Gumbel top-k)
         "q_hits": _queries.q_hits,  # unrolled link recurrence ⊂ q_pagerank + q_opic (both retained in-window)
         "q_decontaminate_bloom": _queries.q_decontaminate_bloom,  # bloom-routed scale path ≡ q_decontamination (same oracle; exactness by construction)
+        "q_classifier_eval": _queries.q_classifier_eval,  # confusion rollup ⊂ q_quality_classifier (same trained model, one GROUP BY on top)
         "q_tfidf_topterms": _queries.q_tfidf_topterms,  # tf/df agg ⊂ q_word_freq; per-doc top-k ⊂ q_politeness_topk
         "q_orders_top_customers": _queries.q_orders_top_customers,  # top-k agg ⊂ q_politeness_topk + q_lineitem_pricing
         "q_ngram_jaccard": _queries.q_ngram_jaccard,  # gram-overlap kernel ⊂ q_decontamination

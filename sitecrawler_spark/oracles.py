@@ -2233,6 +2233,13 @@ SELECT id AS doc_id, y, mm AS margin_micro, mm > 0 AS pred FROM mf"""
 
 
 ORACLES["q_quality_classifier"] = logreg_oracle()
+# evaluation wraps the SAME generated training CTE — one GROUP BY on
+# top, so the two gates can never disagree about the model they test
+ORACLES["q_classifier_eval"] = (
+    "SELECT y, pred, count(*)::BIGINT AS n FROM (\n"
+    + logreg_oracle()
+    + "\n) t GROUP BY 1, 2"
+)
 
 
 # the MODULE gate for crawl/recrawl.change_rates_from_history — same

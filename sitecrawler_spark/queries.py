@@ -1971,6 +1971,18 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the trained quality classifier against its
+    labels — integer counts per (y, pred) cell, the evaluation loop
+    that belongs beside any trained filter. Oracle = q_quality_
+    classifier's full unrolled training CTE wrapped in one GROUP BY."""
+    return (
+        q_quality_classifier(spark, sf_dir)
+        .groupBy("y", "pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 def bpe_corpus() -> list[tuple[str, int]]:
     """Deterministic synthetic word-frequency corpus for the BPE gate —
     sf-independent shared INPUT (the crawl_e2e synthetic-site pattern;
