@@ -422,3 +422,50 @@ def test_streaming_quality_scores_match_batch(spark, tmp_path, sf_dir):
     }
     assert got == exp_batch == exp_train
     assert len(got) == docs.count()
+
+
+def test_stream_corpus_ingest_incremental_dedup(spark, tmp_path, sf_dir):
+    """Streaming corpus ingestion: micro-batches dedup against the
+    ACCUMULATED corpus — an exact copy of a batch-1 doc arriving in
+    batch 2 is rejected, the final corpus is exact-dup-free, and the
+    whole run equals applying dedup_batch_against sequentially (the
+    stream is the batch composition, checkpoint-tracked)."""
+    from sitecrawler_spark.streaming.corpus_stream import (
+        dedup_batch_against,
+        stream_corpus_ingest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    part1 = docs.filter("doc_id < 250")
+    base2 = docs.filter("doc_id >= 250")
+    copy_of_1 = part1.filter("doc_id = 1").select(
+        F.lit(9001).cast("long").alias("doc_id"), "text"
+    )
+    part2 = base2.unionByName(copy_of_1)
+
+    feed = str(tmp_path / "doc_feed")
+    ckpt = str(tmp_path / "ingest_ckpt")
+    part1.repartition(1).write.parquet(feed)
+    st1 = stream_corpus_ingest(spark, feed, ckpt)
+    n1 = st1["corpus"].count()
+    assert st1["batches"] >= 1 and 0 < n1 <= 250
+
+    part2.repartition(1).write.mode("append").parquet(feed)
+    st2 = stream_corpus_ingest(
+        spark, feed, ckpt, initial_corpus=st1["corpus"]
+    )
+    corpus = st2["corpus"]
+    ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert 9001 not in ids  # exact copy across batches rejected
+    # corpus is exact-dup-free
+    assert (
+        corpus.select(F.md5(F.col("text")).alias("k")).distinct().count()
+        == corpus.count()
+    )
+    # stream ≡ sequential batch composition
+    seq1 = dedup_batch_against(part1, None)
+    seq2 = dedup_batch_against(part2, seq1)
+    exp = {r.doc_id for r in seq1.unionByName(seq2).collect()}
+    assert ids == exp
