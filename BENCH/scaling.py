@@ -246,6 +246,28 @@ dedup-window stages plus memory-hierarchy pressure, not a plan change
 north-rule regime scales executors WITH data, keeping per-executor
 rows constant — the relevant evidence for that axis is the
 parallelism-scaling table above.
+
+## Bench methodology notes (round-over-round comparability)
+
+These notes live in scaling.py's template so BASELINE.md regeneration
+cannot drop them (round 5 briefly lost them to exactly that).
+
+- **round 5**: the printed bench JSON line was compacted to headline
+  fields (bench.fit_stdout_budget) after round 4's full line outgrew
+  the driver's tail capture and recorded `parsed: null` (VERDICT r04
+  #1); loadavg_per_query, reruns, calibration, and parse/frontier
+  detail moved to `BENCH/detail_r{N}.json`. The headline `value`
+  definition is unchanged and comparable to r1-r4. Idle-box reference
+  for round-5 driver adjudication (VERDICT r04 #6): the committed
+  detail_r05.json was produced on an idle box — headline 59.2 s,
+  272.7k URLs/s, crawl 190.3 pages/s; if a driver number disagrees
+  >1.5x with its recorded rerun minimum, trust the rerun.
+- **round 4** (flagged in ADVICE r04): `global_order_ranged_4m` and
+  `parse_html_20k` switched from one-shot timing to unconditional
+  best-of-2 min (both raw runs recorded under `reruns`). Cross-round
+  deltas for these two entries vs r1-r3 partly reflect that
+  methodology change, not only code speedups. The dedup_ops block has
+  been best-of-2 since round 4 as well (VERDICT r03 #5 request).
 """
     with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
         f.write(md)
