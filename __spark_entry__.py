@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_word_counts": _queries.q_cms_word_counts,  # one-pass CMS build ⊂ q_cms_merge_rollup (builds the same partials, then merges)
         "q_weighted_sample": _queries.q_weighted_sample,  # Gumbel-key sampler kernel ⊂ q_dsir_select (same portable-hash Gumbel top-k)
         "q_hits": _queries.q_hits,  # unrolled link recurrence ⊂ q_pagerank + q_opic (both retained in-window)
+        "q_trustrank": _queries.q_trustrank,  # seed-biased teleport ⊂ q_pagerank's iteration shape (anti-spam variant)
         "q_decontaminate_bloom": _queries.q_decontaminate_bloom,  # bloom-routed scale path ≡ q_decontamination (same oracle; exactness by construction)
         "q_classifier_eval": _queries.q_classifier_eval,  # confusion rollup ⊂ q_quality_classifier (same trained model, one GROUP BY on top)
         "q_tfidf_topterms": _queries.q_tfidf_topterms,  # tf/df agg ⊂ q_word_freq; per-doc top-k ⊂ q_politeness_topk
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_embed_neardup"] = _oracles.embed_neardup_oracle()
     out["q_pagerank"] = _oracles.pagerank_oracle()
     out["q_hits"] = _oracles.hits_oracle()
+    out["q_trustrank"] = _oracles.trustrank_oracle()
     out["q_ann_kmeans"] = _oracles.ann_kmeans_oracle()
     out["q_ann_pq"] = _oracles.ann_pq_oracle()
     out["q_bm25"] = _oracles.bm25_oracle()

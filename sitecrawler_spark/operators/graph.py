@@ -285,3 +285,109 @@ def host_opic(links: DataFrame, n_iters: int = 5) -> DataFrame:
     return opic(nodes, e, n_iters=n_iters).select(
         F.col("id").alias("host"), F.col("importance").alias("rank")
     )
+
+def trustrank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    n_iters: int = 5,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, "Combating web
+    spam with TrustRank", VLDB 2004, §4.3): biased PageRank whose
+    teleport vector is uniform over a trusted seed set instead of over
+    all pages — t₀ = d, tₖ₊₁ = α·T·tₖ + (1−α)·d, where d(v) = 1/|S|
+    for seeds and 0 elsewhere. Trust decays with link distance from
+    the seeds, so link-spam neighborhoods with no inlink path from a
+    trusted page receive no teleport mass and starve toward 0 — the
+    crawl-side spam/quality prior that complements OPIC's pure
+    importance ordering.
+
+    Distributed shape: identical per-iteration cost to pagerank()
+    above — ONE join of the trust frame onto edge sources (shuffle on
+    src) + ONE groupBy(dst).sum with map-side combine. The static
+    teleport mass d rides the trust frame the way out_deg does, so no
+    per-iteration seed join exists; the seed indicator is applied once
+    at setup via a broadcast join (seed sets are small by construction
+    — the paper's oracle-labeled pages). localCheckpoint per iteration
+    cuts lineage. Fixed n_iters keeps the plan deterministic and the
+    oracle expressible as unrolled SQL CTEs (oracles.trustrank_oracle).
+    Returns (id, trust) rounded 6dp."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    s = seeds.select(F.col(seeds.columns[0]).alias("sid")).distinct()
+    n_seeds = s.count()
+    if n_seeds == 0:
+        raise ValueError("trustrank needs a non-empty seed set")
+    d0 = F.when(F.col("sid").isNotNull(), F.lit(1.0 / n_seeds)).otherwise(
+        F.lit(0.0)
+    )
+    trust = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(deg, F.col("id") == F.col("src"), "left")
+        .join(F.broadcast(s), F.col("id") == F.col("sid"), "left")
+        .select(
+            "id",
+            d0.alias("d"),
+            d0.alias("trust"),
+            F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    base = 1.0 - damping
+    for _ in range(n_iters):
+        contribs = (
+            e.join(trust, e.src == trust.id)
+            .select(F.col("dst"), (F.col("trust") / F.col("out_deg")).alias("c"))
+        )
+        sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        trust = (
+            trust.join(sums, trust.id == sums.dst, "left")
+            .select(
+                "id",
+                "d",
+                (F.lit(base) * F.col("d")
+                 + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                 ).alias("trust"),
+                "out_deg",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return trust.select("id", F.round("trust", 6).alias("trust"))
+
+
+def host_trustrank(
+    links: DataFrame, seed_hosts: DataFrame, n_iters: int = 5
+) -> DataFrame:
+    """Host-level TrustRank over a crawl's links table — the same
+    collapse-to-hosts graph as host_pagerank, teleporting only to the
+    trusted seed hosts. Feed the result into
+    frontier_priority="host_score" via engine.set_host_scores_df to
+    bias the NEXT crawl's politeness dequeue toward trusted
+    neighborhoods and away from spam farms (the closed crawl → rank →
+    re-crawl loop, anti-spam edition). Returns (host, rank)."""
+    from sitecrawler_spark.kernel import urls_spark as K
+
+    e = (
+        links.filter(F.col("src").isNotNull())
+        .select(
+            K.url_host(F.col("src")).alias("src"),
+            K.url_host(F.col("dst")).alias("dst"),
+        )
+        .filter((F.col("src") != F.col("dst"))
+                & (F.col("src") != "") & (F.col("dst") != ""))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return trustrank(nodes, e, seed_hosts, n_iters=n_iters).select(
+        F.col("id").alias("host"), F.col("trust").alias("rank")
+    )

@@ -1048,6 +1048,50 @@ def pagerank_oracle(n_iters: int = 5, damping: float = 0.85) -> str:
     )
 
 
+def trustrank_oracle(
+    n_iters: int = 5, damping: float = 0.85, seed_mod: int = 13
+) -> str:
+    """Generated oracle for q_trustrank: the TrustRank recurrence
+    (Gyöngyi 2004 §4.3) unrolled as one aggregate-join CTE per
+    iteration — pagerank_oracle's pattern with the uniform teleport
+    replaced by the normalized seed indicator d. ``base`` is
+    interpolated via Python float repr so both engines multiply by the
+    identical IEEE double (1.0 - 0.85 != 0.15 exactly)."""
+    from sitecrawler_spark.queries import PAGERANK_EDGES_SQL
+
+    base = 1.0 - damping
+    ctes = [
+        "nodes AS (SELECT doc_id AS id FROM documents)",
+        f"edges AS ({PAGERANK_EDGES_SQL})",
+        "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
+        f"seeds AS (SELECT id FROM nodes WHERE id % {seed_mod} = 0)",
+        "ns AS (SELECT count(*) AS n FROM seeds)",
+        """dvec AS (
+  SELECT nodes.id,
+         CASE WHEN seeds.id IS NOT NULL
+              THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS d
+  FROM nodes LEFT JOIN seeds USING (id)
+)""",
+        "t0 AS (SELECT id, d AS trust FROM dvec)",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""t{i} AS (
+  SELECT dvec.id,
+         {base} * dvec.d
+         + {damping} * COALESCE(s.s, 0) AS trust
+  FROM dvec LEFT JOIN (
+    SELECT e.dst AS id, sum(t{i - 1}.trust / deg.out_deg) AS s
+    FROM edges e
+    JOIN t{i - 1} ON t{i - 1}.id = e.src
+    JOIN deg ON deg.src = e.src
+    GROUP BY e.dst) s USING (id)
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id, round(trust, 6) AS trust FROM t{n_iters}"
+    )
+
+
 def hits_oracle(n_iters: int = 5) -> str:
     """Generated oracle for q_hits: the HITS recurrence unrolled as two
     aggregate-join CTEs per iteration (authority from hubs, hubs from

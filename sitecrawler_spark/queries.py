@@ -1324,6 +1324,26 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyöngyi 2004) over the same derived link graph as
+    q_pagerank, with a deterministic trusted seed set (doc_id % 13 ==
+    0 — the oracle-labeled good pages of the paper, picked by rule so
+    both engines agree without a fixture). The anti-spam biased
+    PageRank: teleport mass goes only to seeds, so trust decays with
+    link distance and spam neighborhoods starve. Oracle: the
+    recurrence unrolled as SQL CTEs (oracles.trustrank_oracle), same
+    pattern as q_pagerank's."""
+    from sitecrawler_spark.operators.graph import trustrank
+
+    register_views(spark, sf_dir)
+    edges = spark.sql(PAGERANK_EDGES_SQL)
+    nodes = spark.table("documents").select(F.col("doc_id").alias("id"))
+    seeds = nodes.filter(F.col("id") % 13 == 0)
+    return trustrank(nodes, edges, seeds, n_iters=5).select(
+        F.col("id").alias("doc_id"), "trust"
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (retrieval-side of a training-data
     pipeline): word → document frequency, total term frequency, and the

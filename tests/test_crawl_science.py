@@ -246,3 +246,48 @@ def test_change_rate_recrawl_closed_loop(spark):
         F.min("wave")
     ).collect()[0][0]
     assert fast_max < slow_min
+
+
+def test_trustrank_starves_spam_and_decays_with_distance(spark):
+    """TrustRank's defining properties (Gyöngyi 2004): pages with no
+    inlink path from a trusted seed get exactly 0 trust (teleport mass
+    goes only to seeds), spam → good links cannot leak trust BACK into
+    the spam cluster, and trust decays along the seed-distance chain."""
+    from sitecrawler_spark.operators.graph import trustrank
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    # trusted chain 0 → 1 → 2; spam cluster {3, 4} points at the good
+    # pages (the classic spam tactic) but receives no trusted inlink
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 3), (3, 0), (4, 1)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    t = {r["id"]: r["trust"]
+         for r in trustrank(nodes, edges, seeds, n_iters=5).collect()}
+    assert t[3] == 0.0 and t[4] == 0.0, t
+    assert t[0] > t[1] > t[2] > 0.0, t
+
+
+def test_host_trustrank_ranks_trusted_neighborhood_first(spark):
+    """Host-level TrustRank: the seed host and hosts it links to
+    outrank a spam farm that only links INTO the trusted set."""
+    from sitecrawler_spark.operators.graph import host_trustrank
+
+    links = spark.createDataFrame(
+        [
+            ("http://good.com/a", "http://partner.com/x"),
+            ("http://partner.com/x", "http://good.com/b"),
+            ("http://spam.com/p", "http://spam2.com/q"),
+            ("http://spam2.com/q", "http://spam.com/r"),
+            ("http://spam.com/p", "http://good.com/a"),
+        ],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("good.com",)], ["host"])
+    r = {row["host"]: row["rank"]
+         for row in host_trustrank(links, seeds, n_iters=5).collect()}
+    # trust circulates inside the good ⇄ partner cycle (their relative
+    # order oscillates by parity — not pinned); the spam farm, with no
+    # trusted inlink, stays at exactly 0
+    assert r["good.com"] > 0.0 and r["partner.com"] > 0.0, r
+    assert r["spam.com"] == 0.0 and r["spam2.com"] == 0.0, r
