@@ -1283,6 +1283,34 @@ class SparkSiteCrawler:
         self.set_host_scores_df(scores)
         return scores
 
+    def schedule_trustrank(
+        self, seed_hosts, n_iters: int = 5
+    ) -> DataFrame:
+        """Closed crawl → rank → re-crawl loop, anti-spam edition
+        (Gyöngyi 2004): host-level TrustRank over THIS crawl's links
+        table, teleporting only to ``seed_hosts`` (an iterable of host
+        strings, or a 1-column DataFrame for web-scale seed sets),
+        installed as the host_score dequeue priority. Hosts with no
+        inlink path from a trusted seed score exactly 0, so under
+        frontier_priority="host_score" the next recrawl() epoch
+        fetches the trusted neighborhood before spam farms — the
+        TrustRank analog of schedule_recrawl's change-rate loop.
+        Returns the (host, rank) score table it installed."""
+        from sitecrawler_spark.operators.graph import host_trustrank
+
+        links = self.links
+        if links is None:
+            raise RuntimeError("schedule_trustrank: nothing crawled yet")
+        if isinstance(seed_hosts, DataFrame):
+            seeds = seed_hosts
+        else:
+            seeds = self.spark.createDataFrame(
+                [(h,) for h in seed_hosts], "host string"
+            )
+        scores = host_trustrank(links, seeds, n_iters=n_iters)
+        self.set_host_scores_df(scores)
+        return scores
+
     def export_warc(self, out_dir: str) -> None:
         """Archive the crawl's fetched pages as WARC response records
         (sources/warc.py): WARC-Target-URI = full_url, HTTP status =

@@ -291,3 +291,93 @@ def test_host_trustrank_ranks_trusted_neighborhood_first(spark):
     # trusted inlink, stays at exactly 0
     assert r["good.com"] > 0.0 and r["partner.com"] > 0.0, r
     assert r["spam.com"] == 0.0 and r["spam2.com"] == 0.0, r
+
+
+def _trust_site():
+    """Three-host site for the TrustRank loop: a trusted host and its
+    partner link to each other; a spam farm links INTO the trusted host
+    (the classic tactic) but receives no trusted inlink."""
+    from sitecrawler_spark.crawl.parse import render_spans_to_html
+
+    pages = {
+        "https://trusted.example.com/t0.html": [
+            "https://trusted.example.com/t1.html",
+            "https://partner.example.com/p0.html",
+        ],
+        "https://trusted.example.com/t1.html": [
+            "https://trusted.example.com/t0.html",
+        ],
+        "https://partner.example.com/p0.html": [
+            "https://partner.example.com/p1.html",
+        ],
+        "https://partner.example.com/p1.html": [
+            "https://trusted.example.com/t0.html",
+        ],
+        "https://spam.example.com/s0.html": [
+            "https://spam.example.com/s1.html",
+            "https://trusted.example.com/t0.html",
+        ],
+        "https://spam.example.com/s1.html": [
+            "https://spam.example.com/s0.html",
+        ],
+    }
+    rows = []
+    for url, hrefs in pages.items():
+        host = url.split("/")[2]
+        spans = [{"kind": "text", "text": f"page at {url}",
+                  "media_ref": None, "offset": 0}]
+        spans += [{"kind": "anchor", "text": h, "media_ref": None,
+                   "offset": i + 1} for i, h in enumerate(hrefs)]
+        rows.append({
+            "url": url, "host": host, "status": 200,
+            "content_type": "text/html", "redirect_location": None,
+            "empty_body": False, "transient_fails": 0,
+            "spans": spans,
+            "html": render_spans_to_html(spans, title=url),
+        })
+    return rows
+
+
+def test_schedule_trustrank_closed_loop(spark):
+    """The anti-spam loop end-to-end (Gyöngyi 2004): crawl a web whose
+    spam farm links into the trusted host, schedule_trustrank installs
+    host-level trust as the host_score priority, and the next recrawl
+    epoch under a wave cap fetches every trusted-neighborhood page
+    strictly before any spam page."""
+    from sitecrawler_spark.config import CrawlerConfig
+    from sitecrawler_spark.crawl import sitegen
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+
+    cfg = CrawlerConfig(
+        base_url="https://", disable_redirects=True,
+        frontier_priority="host_score",
+    )
+    eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, _trust_site()))
+    eng.crawl(
+        ["https://trusted.example.com/t0.html",
+         "https://spam.example.com/s0.html"],
+        max_waves=20,
+    )
+    assert eng.pages.count() == 6
+
+    scores = eng.schedule_trustrank(["trusted.example.com"])
+    ranks = {r["host"]: r["rank"] for r in scores.collect()}
+    assert ranks["trusted.example.com"] > 0.0
+    assert ranks["partner.example.com"] > 0.0
+    assert ranks["spam.example.com"] == 0.0
+    assert eng._host_scores_df is not None
+
+    # epoch 2 under a wave cap: the trusted neighborhood dequeues first
+    eng.cfg.max_wave_size = 2
+    w0 = eng.wave
+    assert eng.recrawl() == 6
+    eng.crawl(max_waves=20)
+    ep2 = eng.pages.filter(F.col("wave") >= w0)
+    assert ep2.count() == 6
+    good_max = ep2.filter(F.col("host") != "spam.example.com").agg(
+        F.max("wave")
+    ).collect()[0][0]
+    spam_min = ep2.filter(F.col("host") == "spam.example.com").agg(
+        F.min("wave")
+    ).collect()[0][0]
+    assert good_max < spam_min
