@@ -72,10 +72,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_index": _queries.q_anchor_index,
         "q_error_dispatch": _queries.q_error_dispatch,
         "q_bm25": _queries.q_bm25,
+        "q_ndcg": _queries.q_ndcg,
         "q_quantile_sketch": _queries.q_quantile_sketch,
         "q_span_reconstruct": _queries.q_span_reconstruct,
         "q_interleaved_pack": _queries.q_interleaved_pack,
-        "q_boilerplate_strip": _queries.q_boilerplate_strip,
         "q_line_dedup": _queries.q_line_dedup,
         "q_exact_substr": _queries.q_exact_substr,
         "q_pii_redact": _queries.q_pii_redact,
@@ -93,7 +93,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": _queries.q_embed_neardup,
         "q_dedup_clusters": _queries.q_dedup_clusters,
         "q_incremental_dedup": _queries.q_incremental_dedup,
-        "q_ann_filtered": _queries.q_ann_filtered,
         "q_quality_filter": _queries.q_quality_filter,
         "q_events_session_windows": _queries.q_events_session_windows,
         "q_events_asof_tolerance": _queries.q_events_asof_tolerance,
@@ -108,12 +107,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": _queries.q_semantic_dedup,
         "q_gopher_quality": _queries.q_gopher_quality,
         "q_zorder_key": _queries.q_zorder_key,
+        "q_balanced_shards": _queries.q_balanced_shards,
         "q_quality_classifier": _queries.q_quality_classifier,
         "q_opic": _queries.q_opic,
         "q_url_trap_score": _queries.q_url_trap_score,
         "q_recrawl_schedule": _queries.q_recrawl_schedule,
         "q_sitemap_parse": _queries.q_sitemap_parse,
         # ---- entries 51+ (outside the driver's 50-query window) ----
+        "q_boilerplate_strip": _queries.q_boilerplate_strip,  # strip stage ⊂ q_crawl_to_corpus (export_training_corpus runs it over the crawled pages) — rotated out for q_ndcg (new retrieval-eval family)
+        "q_ann_filtered": _queries.q_ann_filtered,  # exact cosine top-k kernel ⊂ q_ann_bruteforce (the pinned recall base of q_ann_lsh_multi/q_embed_neardup); the label equi-join-into-scan is the only delta — rotated out for q_balanced_shards (new output-sharding family)
         "q_cms_word_counts": _queries.q_cms_word_counts,  # one-pass CMS build ⊂ q_cms_merge_rollup (builds the same partials, then merges)
         "q_weighted_sample": _queries.q_weighted_sample,  # Gumbel-key sampler kernel ⊂ q_dsir_select (same portable-hash Gumbel top-k)
         "q_hits": _queries.q_hits,  # unrolled link recurrence ⊂ q_pagerank + q_opic (both retained in-window)
@@ -172,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_ann_kmeans"] = _oracles.ann_kmeans_oracle()
     out["q_ann_pq"] = _oracles.ann_pq_oracle()
     out["q_bm25"] = _oracles.bm25_oracle()
+    out["q_ndcg"] = _oracles.ndcg_oracle()
     out["q_ann_ivfpq"] = _oracles.ann_ivfpq_oracle(trained_coarse=True)
     out["q_ann_ivfpq_residual"] = _oracles.ann_ivfpq_oracle(by_residual=True)
     out["q_opic"] = _oracles.opic_oracle()

@@ -75,3 +75,58 @@ def zorder_layout(
     else:
         out = out.repartitionByRange("_zkey")
     return out.sortWithinPartitions("_zkey")
+
+
+def balanced_shards(
+    df: DataFrame,
+    weight_col: str,
+    n_shards: int,
+    tie_col: str,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Weight-balanced shard assignment for training-data output files:
+    place each row in one of ``n_shards`` shards so per-shard weight
+    totals (token counts) come out near-equal — the writer layout a
+    trainer wants so every data-parallel reader finishes its shard at
+    the same time (no straggler file).
+
+    Algorithm: serpentine (boustrophedon) LPT. Rank rows by weight
+    descending (ties by ``tie_col``), then walk shards 0..S-1, S-1..0,
+    0..S-1, ... assigning one row per step: pos = rank mod 2S,
+    shard = pos if pos < S else 2S-1-pos. Reversing direction each
+    pass compensates the within-pass bias of plain round-robin (shard
+    0 would otherwise get the heaviest row of EVERY pass); for weights
+    that decay smoothly the max/min shard-total ratio approaches 1
+    like classic Longest-Processing-Time scheduling (Graham 1969)
+    while staying deterministic and oracle-expressible (plain
+    row_number arithmetic, no greedy state).
+
+    Domain caveat: the guarantee needs max(weight) ≪ total/S — true
+    for corpus token counts, which sequence chunking bounds upstream.
+    A heavy-head distribution where ONE row fills a shard's quota
+    needs stateful greedy LPT, which is inherently sequential; there
+    the right distributed move is chunking the giant row, not a
+    cleverer dealer.
+
+    Scale shape: ranking reuses assign_global_order's two-pass ranged
+    path (range-partition on the sort key, local rank + per-partition
+    offsets) — never a single-partition global window at scale; the
+    serpentine map is pure integer arithmetic on the rank (map-side,
+    codegen). One range shuffle total.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from sitecrawler_spark.operators.ordering import assign_global_order
+
+    ranked = assign_global_order(
+        df.withColumn("_negw", -F.col(weight_col).cast("long")),
+        ["_negw", tie_col],
+        out_col="_rank",
+    )
+    pos = F.col("_rank") % (2 * n_shards)
+    shard = F.when(pos < n_shards, pos).otherwise(
+        F.lit(2 * n_shards - 1) - pos
+    )
+    return ranked.withColumn(out_col, shard.cast("int")).drop(
+        "_negw", "_rank"
+    )

@@ -251,6 +251,32 @@ def _stopcount(lang: str) -> str:
     return f"len(regexp_extract_all(lower(text), '\\b({words})\\b'))"
 
 
+# Serpentine LPT shard balancing (layout.balanced_shards): 0-based rank
+# by tokens desc / doc_id asc, pos = rank mod 2S, reverse direction on
+# odd passes. Mirrors the Spark op's integer arithmetic exactly.
+ORACLES["q_balanced_shards"] = """
+WITH w AS (
+  SELECT doc_id,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+'))
+          END)::BIGINT AS tokens
+  FROM documents
+),
+r AS (
+  SELECT tokens,
+         row_number() OVER (ORDER BY tokens DESC, doc_id) - 1 AS rank
+  FROM w
+),
+s AS (
+  SELECT tokens,
+         (CASE WHEN rank % 16 < 8 THEN rank % 16
+               ELSE 15 - (rank % 16) END)::INT AS shard
+  FROM r
+)
+SELECT shard, count(*)::BIGINT AS n_docs, sum(tokens)::BIGINT AS shard_tokens
+FROM s GROUP BY 1
+"""
+
 ORACLES["q_token_counts"] = f"""
 SELECT doc_id,
   CASE WHEN trim(text) = '' THEN 0
@@ -802,6 +828,16 @@ def bm25_oracle() -> str:
     """Generated oracle for q_bm25: the VALUES clause is rendered from
     queries.BM25_QUERIES so the query terms live in exactly one place
     (ADVICE r04 — a hand-synced copy here broke silently on edit)."""
+    return (
+        _bm25_ctes()
+        + "\nSELECT query_id, doc_id, rank, score FROM r WHERE rank <= 10"
+    )
+
+
+def _bm25_ctes() -> str:
+    """The shared BM25 CTE chain (WITH … r AS (ranked)) — composed by
+    bm25_oracle (final ranked select) and ndcg_oracle (which stacks
+    the relevance/DCG CTEs on top of the same ranking)."""
     values = ", ".join(
         f"({qid}, '{term}')"
         for qid, terms in sorted(BM25_QUERIES.items())
@@ -845,9 +881,51 @@ r AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score_i DESC, doc_id) AS rank
   FROM agg
+)"""
+
+
+def ndcg_oracle(k: int = 10) -> str:
+    """Generated oracle for q_ndcg: the shared BM25 ranking CTEs plus
+    rule-derived graded relevance (rel = total tf of the query's terms
+    — a grade that differs from BM25's length-normalized score, so
+    NDCG < 1 and discriminates; linear Järvelin gain, no 2^rel
+    overflow) and micro-integer discounted gains - sums are exact
+    longs, the final NDCG is one exactly-rounded double division, so
+    both engines agree bit-for-bit (the bm25/dsir discipline)."""
+    return (
+        _bm25_ctes()
+        + f""",
+relv AS (
+  SELECT q.query_id, d.doc_id, count(*)::INT AS rel
+  FROM tok d JOIN q USING (word)
+  GROUP BY 1, 2
+),
+dcg AS (
+  SELECT r.query_id,
+         sum(round(COALESCE(relv.rel, 0)::DOUBLE
+                   / log2(r.rank + 1) * 1e6)::BIGINT) AS dcg_micro
+  FROM r LEFT JOIN relv USING (query_id, doc_id)
+  WHERE r.rank <= {k}
+  GROUP BY 1
+),
+ideal AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS pos
+  FROM relv
+),
+idcg AS (
+  SELECT query_id,
+         sum(round(rel::DOUBLE
+                   / log2(pos + 1) * 1e6)::BIGINT) AS idcg_micro
+  FROM ideal WHERE pos <= {k} GROUP BY 1
 )
-SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 10
-"""
+SELECT dcg.query_id,
+       round(dcg.dcg_micro::DOUBLE / idcg.idcg_micro, 6) AS ndcg,
+       round(dcg.dcg_micro / 1e6, 6) AS dcg,
+       round(idcg.idcg_micro / 1e6, 6) AS idcg
+FROM dcg JOIN idcg USING (query_id)"""
+    )
 
 
 ORACLES["q_lm_score"] = """

@@ -1387,6 +1387,21 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, BM25_QUERIES)
 
 
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 evaluation of the BM25 ranking (Järvelin & Kekäläinen
+    2002) with rule-derived graded relevance (rel = total tf of the
+    query's terms; linear gain), so the retrieval stack carries its own
+    quality metric — the eval harness a training-data pipeline runs
+    after every index rebuild. Discounted gains are micro-integer
+    scaled before summing (exact cross-engine); oracle composes the
+    shared BM25 CTE chain (oracles.ndcg_oracle)."""
+    from sitecrawler_spark.textops.functions import ndcg_at_k
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return ndcg_at_k(docs, BM25_QUERIES, k=10)
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model quality scoring (perplexity-proxy document
     filtering): corpus bigram/unigram counts with add-one smoothing
@@ -1874,6 +1889,31 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "dup_word_frac", "dup_3gram_frac",
         "mean_word_len", "stop_hits", "top_2gram", "top_2gram_count",
         "top_2gram_frac", keep.alias("keep"),
+    )
+
+
+def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output sharding (serpentine LPT,
+    operators/layout.balanced_shards): rank documents by whitespace
+    token count desc and deal them boustrophedon across 8 shards so
+    per-shard token totals near-equalize — the training-writer layout
+    that keeps every data-parallel reader finishing together. Returns
+    the per-shard summary (n_docs, shard_tokens) — all exact integer
+    arithmetic, so the DuckDB oracle reproduces the assignment
+    bit-for-bit. Scale: ranking is assign_global_order's ranged
+    two-pass (no single-partition window); the serpentine map and the
+    final 8-group agg are map-side + one tiny exchange."""
+    from sitecrawler_spark.operators.layout import balanced_shards
+    from sitecrawler_spark.textops.functions import token_count_ws
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("tokens")
+    )
+    sharded = balanced_shards(docs, "tokens", 8, "doc_id")
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("shard_tokens"),
     )
 
 

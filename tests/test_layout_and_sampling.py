@@ -194,3 +194,41 @@ def test_gopher_short_doc_rejected(spark):
     df = spark.createDataFrame([Row(text="the a is")])
     n = df.select(TX.token_count_ws(F.col("text")).alias("n")).collect()[0].n
     assert n < 20  # fails the n_tokens gate by construction
+
+
+# ------------------------------------------------------ balanced shards
+
+def test_balanced_shards_serpentine_and_near_equal_totals(spark):
+    """Hand-check the serpentine walk (S=2: ranks 0,1,2,3 → shards
+    0,1,1,0) and pin the balance guarantee on a skewed weight
+    distribution: serpentine LPT's max/min shard-total ratio stays
+    within 5% on a bounded token-count-like distribution (the op's
+    documented domain: max weight ≪ total/S; heavy-head Zipf needs
+    upstream chunking, not a cleverer dealer)."""
+    from sitecrawler_spark.operators.layout import balanced_shards
+
+    df = spark.createDataFrame(
+        [(i, 100 - i) for i in range(4)], ["doc_id", "w"]
+    )
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in balanced_shards(df, "w", 2, "doc_id").collect()
+    }
+    # weights 100,99,98,97 → ranks 0..3 (already desc) → 0,1,1,0
+    assert got == {0: 0, 1: 1, 2: 1, 3: 0}
+
+    # bounded skew (doc-token-count-like: 50..2000 tokens), 4 shards
+    big = spark.createDataFrame(
+        [(i, 50 + (i * 137) % 1951) for i in range(500)],
+        ["doc_id", "w"],
+    )
+    out = balanced_shards(big, "w", 4, "doc_id")
+    totals = [
+        r["t"] for r in out.groupBy("shard").agg(
+            F.sum("w").alias("t")).collect()
+    ]
+    assert len(totals) == 4
+    assert max(totals) / min(totals) < 1.05
+    # every row assigned exactly one shard in [0, 4)
+    assert out.filter((F.col("shard") < 0) | (F.col("shard") >= 4)).count() == 0
+    assert out.count() == 500

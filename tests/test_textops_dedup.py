@@ -1000,3 +1000,32 @@ def test_exact_substring_spans_and_removal(spark):
         cleaned.filter(F.length("text") > 0), "text", "doc_id", l_tokens=8
     )
     assert again.count() == 0
+
+
+def test_ndcg_at_k_properties(spark):
+    """NDCG@k behavioral gate: a perfectly tf-ordered corpus scores 1.0
+    only when BM25's ranking agrees with the tf grade; with mixed doc
+    lengths BM25's length normalization diverges from raw tf, so
+    0 < ndcg < 1; ndcg is scale-free (dcg <= idcg always)."""
+    rows = []
+    # short docs with few term hits, long docs stuffed with the terms:
+    # raw-tf grade prefers the long docs, BM25 length-norm the short
+    for i in range(30):
+        filler = " ".join(f"w{j}" for j in range(i * 3))
+        hits = " ".join(["join filter"] * (1 + i % 5))
+        rows.append((i, f"{hits} {filler}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = TX.ndcg_at_k(docs, {1: ["join", "filter"]}, k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert 0.0 < r["ndcg"] <= 1.0
+    assert r["dcg"] <= r["idcg"] + 1e-9
+    # uniform-length corpus where tf order == bm25 order -> ndcg == 1
+    uni = spark.createDataFrame(
+        [(i, " ".join(["join filter"] * (i + 1))
+          + " " + " ".join(["pad"] * (60 - 2 * (i + 1))))
+         for i in range(10)],
+        ["doc_id", "text"],
+    )
+    perfect = TX.ndcg_at_k(uni, {1: ["join", "filter"]}, k=5).collect()[0]
+    assert perfect["ndcg"] == pytest.approx(1.0, abs=1e-6)
