@@ -368,7 +368,8 @@ def main() -> None:
                  "q_crawl_to_corpus", "q_url_change_rates",
                  "q_dsir_select",
                  "q_line_dedup", "q_quality_classifier",
-                 "q_exact_substr"):
+                 "q_exact_substr",
+                 "q_ndcg", "q_balanced_shards"):
         pipeline[name] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )
