@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_quantiles": _queries.q_events_quantiles,  # exact-sort percentile; monitoring shape gated via q_quantile_sketch
         "q_politeness_topk": _queries.q_politeness_topk,  # politeness budget ⊂ q_crawl_e2e_budgeted (driver-gated model parity)
         "q_mirror_detect": _queries.q_mirror_detect,  # content-fingerprint join ⊂ q_exact_dedup/q_incremental_dedup shapes
+        "q_epoch_shuffle": _queries.q_epoch_shuffle,  # ranged two-pass rank ⊂ q_balanced_shards' ordering path; the hash-salt permutation is the delta
+        "q_token_fertility": _queries.q_token_fertility,  # token-count kernels ⊂ q_token_counts; one lang-keyed partial agg on top
+        "q_domain_blocklist": _queries.q_domain_blocklist,  # quality kernel ⊂ q_quality_score; source rollup + corpus-mean cross-multiply on top (engine loop: schedule_quality_blocklist)
     }
 
 

@@ -424,6 +424,20 @@ class SparkSiteCrawler:
         from sitecrawler_spark.operators.seen import anti_join_seen
 
         ok = fr.filter(~K.is_excluded_static(F.col("full_url"), cfg))
+        if getattr(self, "_blocked_hosts_df", None) is not None:
+            # dynamic quality/spam host blocklist
+            # (schedule_quality_blocklist): broadcast anti-join at
+            # admission — the scale form of cfg.blocked for
+            # host-cardinality blocklists
+            ok = (
+                ok.withColumn("_bh", K.url_host(F.col("full_url")))
+                .join(
+                    F.broadcast(self._blocked_hosts_df),
+                    F.col("_bh") == F.col("_blocked_host"),
+                    "left_anti",
+                )
+                .drop("_bh")
+            )
         ok = anti_join_seen(ok, "full_url", visited, "s", self.seen)
         ok = ok.withColumn("url_clean", self._clean(F.col("full_url")))
         ok = anti_join_seen(ok, "url_clean", visited, "s", self.seen)
@@ -1310,6 +1324,80 @@ class SparkSiteCrawler:
         scores = host_trustrank(links, seeds, n_iters=n_iters)
         self.set_host_scores_df(scores)
         return scores
+
+    def set_blocked_hosts_df(self, hosts: DataFrame | None) -> None:
+        """Install a dynamic host blocklist applied at dequeue
+        admission as a broadcast anti-join — the web-scale alternative
+        to cfg.blocked substrings (a static pattern list cannot hold
+        10^6 quality-derived domains; an anti-join can; at extreme
+        cardinality Spark falls back to a shuffled anti-join on the
+        same plan). Pass None to clear."""
+        if hosts is None:
+            self._blocked_hosts_df = None
+            return
+        self._blocked_hosts_df = hosts.select(
+            F.col("host").alias("_blocked_host")
+        ).distinct()
+
+    def derive_quality_blocklist(
+        self, min_docs: int = 2, frac_num: int = 4, frac_den: int = 5
+    ) -> DataFrame:
+        """FineWeb-style domain-level quality filter over THIS crawl:
+        per-host mean page quality (textops.quality_score over each
+        page's text spans) in integer micro-units; a host is blocked
+        when it has >= min_docs fetched pages and its mean falls below
+        frac_num/frac_den of the crawl-wide mean — the comparison is an
+        all-integer cross-multiply, so the cut is exact at any scale.
+        Plan: one host-keyed partial agg + a broadcast crossJoin of the
+        1-row crawl total. Returns a 1-column (host) DataFrame. The
+        same rule at document grain is the driver-gated
+        q_domain_blocklist."""
+        from sitecrawler_spark.textops import functions as TX
+
+        pages = self.pages
+        if pages is None:
+            raise RuntimeError("derive_quality_blocklist: nothing crawled")
+        text = F.concat_ws(
+            " ",
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == "text"),
+                lambda s: s["text"],
+            ),
+        )
+        q = pages.filter(F.col("spans").isNotNull()).select(
+            "host",
+            F.round(TX.quality_score(text) * 10000).cast("long").alias("qm"),
+        )
+        per = q.groupBy("host").agg(
+            F.count("*").alias("n"), F.sum("qm").alias("s")
+        )
+        tot = q.agg(F.count("*").alias("_tn"), F.sum("qm").alias("_tq"))
+        return (
+            per.crossJoin(F.broadcast(tot))
+            .filter(
+                (F.col("n") >= min_docs)
+                & (
+                    F.col("s") * F.col("_tn") * frac_den
+                    < F.col("_tq") * F.col("n") * frac_num
+                )
+            )
+            .select("host")
+        )
+
+    def schedule_quality_blocklist(
+        self, min_docs: int = 2, frac_num: int = 4, frac_den: int = 5
+    ) -> DataFrame:
+        """Closed crawl → score → re-crawl loop, quality edition
+        (the domain-blocklist analog of schedule_trustrank): derive the
+        low-quality host blocklist from this crawl's pages and install
+        it so subsequent waves / recrawl() epochs never admit those
+        hosts at dequeue (test_quality_blocklist_closed_loop). Returns
+        the blocklist it installed."""
+        bl = self.derive_quality_blocklist(
+            min_docs, frac_num, frac_den
+        ).localCheckpoint(eager=True)
+        self.set_blocked_hosts_df(bl)
+        return bl
 
     def export_warc(self, out_dir: str) -> None:
         """Archive the crawl's fetched pages as WARC response records

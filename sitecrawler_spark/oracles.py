@@ -2933,3 +2933,56 @@ SELECT sh.host_a, sh.host_b, sh.shared_docs,
 FROM sh JOIN hn ha ON sh.host_a = ha.source
         JOIN hn hb ON sh.host_b = hb.source
 """
+
+
+# ---- round-5d additions ---------------------------------------------------
+
+# q_epoch_shuffle: same 60-bit portable hash (kernel/urls_spark.
+# portable_hash64) and tie-break; a total order, so row_number is exact.
+ORACLES["q_epoch_shuffle"] = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY ('0x' || substr(md5(concat('epoch-1:', doc_id)), 1, 15))::BIGINT,
+                  doc_id)::BIGINT AS position
+FROM documents
+"""
+
+# q_token_fertility: exact integer sums; each ratio is one IEEE double
+# division rounded to integer micro-units (same bits both engines).
+ORACLES["q_token_fertility"] = f"""
+WITH t AS (
+  SELECT lang,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws,
+    len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe,
+    strlen(text) AS b  -- DuckDB strlen = UTF-8 byte length (octet_length is BLOB-only)
+  FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(ws)::BIGINT AS ws_tokens,
+       sum(bpe)::BIGINT AS bpe_tokens,
+       sum(b)::BIGINT AS text_bytes,
+       round(sum(bpe) * 1000000.0 / greatest(sum(ws), 1))::BIGINT
+         AS fertility_micro,
+       round(sum(b) * 1000000.0 / greatest(sum(bpe), 1))::BIGINT
+         AS bytes_per_token_micro
+FROM t GROUP BY lang
+"""
+
+# q_domain_blocklist: per-source micro-quality rollup vs the corpus
+# mean; the blocked flag is an all-integer cross-multiply (exact).
+ORACLES["q_domain_blocklist"] = """
+WITH q AS (__QUALITY_SQL__),
+j AS (SELECT d.source, round(q.quality * 10000)::BIGINT AS q_micro
+      FROM q JOIN documents d USING (doc_id)),
+per AS (SELECT source, count(*)::BIGINT AS n_docs,
+               sum(q_micro)::BIGINT AS sum_q_micro
+        FROM j GROUP BY source),
+tot AS (SELECT count(*)::BIGINT AS tn, sum(q_micro)::BIGINT AS tq FROM j)
+SELECT source, n_docs, sum_q_micro,
+       round(sum_q_micro / (n_docs * 10000.0), 4) AS mean_quality,
+       (n_docs >= 10 AND sum_q_micro * tn * 5 < tq * n_docs * 4) AS blocked
+FROM per, tot
+"""
+ORACLES["q_domain_blocklist"] = ORACLES["q_domain_blocklist"].replace(
+    "__QUALITY_SQL__", ORACLES["q_quality_score"].strip()
+)

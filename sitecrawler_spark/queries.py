@@ -2486,3 +2486,92 @@ def q_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
     )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-seeded training-order shuffle: position =
+    rank of the 60-bit portable hash of 'epoch-1:<doc_id>'. A new
+    epoch is a new salt string — the corpus is re-permuted without
+    rewriting a byte, and any worker can recompute its slice's order
+    independently (no stored permutation table). The only exchange is
+    assign_global_order's ranged two-pass rank (operators/ordering.py)
+    — never a single-partition window at scale. Oracle: row_number
+    over the same md5-derived key in DuckDB."""
+    from sitecrawler_spark.operators.ordering import assign_global_order
+
+    register_views(spark, sf_dir)
+    keyed = spark.table("documents").select(
+        "doc_id",
+        K.portable_hash64(
+            F.concat(F.lit("epoch-1:"), F.col("doc_id").cast("string"))
+        ).alias("_k"),
+    )
+    return assign_global_order(
+        keyed, ["_k", "doc_id"], out_col="position", start=1
+    ).select("doc_id", "position")
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility / compression eval (the
+    standard subword-tokenizer quality metrics: subword tokens per
+    whitespace word, bytes per subword token). Sums are exact integer
+    partial aggregates — one tiny shuffle keyed by lang with map-side
+    combine; each ratio is ONE IEEE division of exact integers rounded
+    to integer micro-units, bit-portable cross-engine."""
+    from sitecrawler_spark.textops import functions as TX
+
+    register_views(spark, sf_dir)
+    agg = spark.table("documents").groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count_ws(F.col("text"))).alias("ws_tokens"),
+        F.sum(TX.token_count_bpe(F.col("text"))).alias("bpe_tokens"),
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+    )
+    one = F.lit(1).cast("long")
+    return agg.select(
+        "lang", "n_docs", "ws_tokens", "bpe_tokens", "text_bytes",
+        F.round(
+            F.col("bpe_tokens") * 1_000_000.0
+            / F.greatest(F.col("ws_tokens"), one)
+        ).cast("long").alias("fertility_micro"),
+        F.round(
+            F.col("text_bytes") * 1_000_000.0
+            / F.greatest(F.col("bpe_tokens"), one)
+        ).cast("long").alias("bytes_per_token_micro"),
+    )
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality filtering (the FineWeb/RefinedWeb
+    domain-blocklist derivation): per-source mean document quality in
+    exact integer micro-units; a source is blocked when it has enough
+    evidence (n_docs >= 10) and its mean falls below 4/5 of the
+    corpus-wide mean. The comparison is an all-integer cross-multiply
+    (sum_q*total_n*5 < total_q*n*4), so the flag is exact in both
+    engines. Plan: one partial-agg shuffle keyed by source + a
+    broadcast crossJoin of the 1-row corpus total (an aggregate frame,
+    never a data cartesian). engine.schedule_quality_blocklist closes
+    the crawl-side loop at host grain
+    (test_quality_blocklist_closed_loop)."""
+    from sitecrawler_spark.textops import functions as TX
+
+    register_views(spark, sf_dir)
+    q = spark.table("documents").select(
+        "source",
+        F.round(TX.quality_score(F.col("text")) * 10000)
+        .cast("long").alias("q_micro"),
+    )
+    per = q.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("q_micro").alias("sum_q_micro")
+    )
+    tot = q.agg(F.count("*").alias("_tn"), F.sum("q_micro").alias("_tq"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "sum_q_micro",
+        F.round(F.col("sum_q_micro") / (F.col("n_docs") * 10000.0), 4)
+        .alias("mean_quality"),
+        (
+            (F.col("n_docs") >= 10)
+            & (F.col("sum_q_micro") * F.col("_tn") * 5
+               < F.col("_tq") * F.col("n_docs") * 4)
+        ).alias("blocked"),
+    )

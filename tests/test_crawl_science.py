@@ -381,3 +381,76 @@ def test_schedule_trustrank_closed_loop(spark):
         F.min("wave")
     ).collect()[0][0]
     assert good_max < spam_min
+
+
+def _quality_site():
+    """Two-host site for the quality-blocklist loop: a good host whose
+    pages are stopword-rich lowercase prose, and a junk host whose
+    pages are caps/punctuation noise (quality_score ~0.1 vs ~1.0).
+    The good host links into the junk host, so epoch 2 re-discovers
+    the junk URLs — admission must drop them."""
+    from sitecrawler_spark.crawl.parse import render_spans_to_html
+
+    good = (
+        "the cat and the dog sat on the mat with a friend "
+        "and the story goes on for a while in the sun "
+    ) * 6
+    junk = "ZZZZ!!!! @@@@ #### %%%% ^^^^ &&&& " * 6
+    pages = {
+        "https://good.example.com/g0.html": (
+            ["https://good.example.com/g1.html"], good),
+        "https://good.example.com/g1.html": (
+            ["https://junk.example.com/j0.html"], good),
+        "https://junk.example.com/j0.html": (
+            ["https://junk.example.com/j1.html"], junk),
+        "https://junk.example.com/j1.html": (
+            ["https://good.example.com/g0.html"], junk),
+    }
+    rows = []
+    for url, (hrefs, body) in pages.items():
+        host = url.split("/")[2]
+        spans = [{"kind": "text", "text": body,
+                  "media_ref": None, "offset": 0}]
+        spans += [{"kind": "anchor", "text": h, "media_ref": None,
+                   "offset": i + 1} for i, h in enumerate(hrefs)]
+        rows.append({
+            "url": url, "host": host, "status": 200,
+            "content_type": "text/html", "redirect_location": None,
+            "empty_body": False, "transient_fails": 0,
+            "spans": spans,
+            "html": render_spans_to_html(spans, title=url),
+        })
+    return rows
+
+
+def test_quality_blocklist_closed_loop(spark):
+    """The domain-quality loop end-to-end (the FineWeb blocklist rule):
+    crawl both hosts, schedule_quality_blocklist derives + installs the
+    junk host, and the next recrawl epoch never admits it at dequeue —
+    even though the good host still links into it."""
+    from sitecrawler_spark.config import CrawlerConfig
+    from sitecrawler_spark.crawl import sitegen
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+
+    cfg = CrawlerConfig(base_url="https://", disable_redirects=True)
+    eng = SparkSiteCrawler(
+        spark, cfg, sitegen.site_to_df(spark, _quality_site())
+    )
+    eng.crawl(["https://good.example.com/g0.html"], max_waves=20)
+    assert eng.pages.count() == 4
+
+    bl = eng.schedule_quality_blocklist(min_docs=2)
+    assert {r["host"] for r in bl.collect()} == {"junk.example.com"}
+
+    w0 = eng.wave
+    assert eng.recrawl() == 4
+    eng.crawl(max_waves=20)
+    ep2 = eng.pages.filter(F.col("wave") >= w0)
+    assert {r["host"] for r in ep2.select("host").distinct().collect()} == {
+        "good.example.com"
+    }
+    assert ep2.count() == 2
+
+    # clearing the blocklist restores admission
+    eng.set_blocked_hosts_df(None)
+    assert eng._blocked_hosts_df is None
