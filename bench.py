@@ -43,7 +43,9 @@ def fit_stdout_budget(headline: dict, budget: int = STDOUT_BUDGET) -> dict:
     "detail" key points there); the stdout line only needs the headline
     totals plus as many per-query timings as fit.  Degradation order:
     1) as-is  2) per-query dicts rounded to 1 decimal  3) pipeline_ops
-    collapsed to {n, total_sec}  4) dedup_ops collapsed the same way.
+    reduced to its 8 slowest entries + {n, rest_sec} for the remainder
+    4) pipeline_ops fully collapsed to {n, total_sec}  5) dedup_ops
+    collapsed the same way.
     """
     def fits(h):
         return len(json.dumps(h)) + 1 <= budget  # +1 for the newline
@@ -51,21 +53,31 @@ def fit_stdout_budget(headline: dict, budget: int = STDOUT_BUDGET) -> dict:
     if fits(headline):
         return headline
     h = dict(headline)
+    rounded = {}
     for key in ("queries", "dedup_ops", "pipeline_ops"):
         if isinstance(h.get(key), dict):
-            h[key] = {k: round(v, 1) for k, v in h[key].items()}
+            rounded[key] = {k: round(v, 1) for k, v in h[key].items()}
+            h[key] = rounded[key]
     if fits(h):
         return h
+    pipe = rounded.get("pipeline_ops")
+    if isinstance(pipe, dict) and len(pipe) > 9:
+        top = dict(sorted(pipe.items(), key=lambda kv: -kv[1])[:8])
+        rest = [v for k, v in pipe.items() if k not in top]
+        h["pipeline_ops"] = {
+            **top, "n": len(pipe), "rest_sec": round(sum(rest), 1)
+        }
+        if fits(h):
+            return h
     for key in ("pipeline_ops", "dedup_ops"):
-        block = h.get(key)
-        if isinstance(block, dict) and block and "n" not in block:
-            h[key] = {"n": len(block),
-                      "total_sec": round(sum(block.values()), 1)}
+        if key in rounded:
+            h[key] = {"n": len(rounded[key]),
+                      "total_sec": round(sum(rounded[key].values()), 1)}
             if fits(h):
                 return h
     # last resort: drop per-query detail entirely (still in detail file)
-    h["queries"] = {"n": len(headline["queries"]),
-                    "total_sec": round(sum(headline["queries"].values()), 1)}
+    h["queries"] = {"n": len(rounded["queries"]),
+                    "total_sec": round(sum(rounded["queries"].values()), 1)}
     return h
 
 
@@ -369,7 +381,9 @@ def main() -> None:
                  "q_dsir_select",
                  "q_line_dedup", "q_quality_classifier",
                  "q_exact_substr",
-                 "q_ndcg", "q_balanced_shards"):
+                 "q_ndcg", "q_balanced_shards",
+                 "q_epoch_shuffle", "q_token_fertility",
+                 "q_domain_blocklist"):
         pipeline[name] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )
