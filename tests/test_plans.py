@@ -158,28 +158,41 @@ def test_redirect_hop_loop_runs_linear_jobs(spark):
         max_hops = max(max_hops, hops)
     assert max_hops >= 2, "sitegen planted no multi-hop chain"
 
-    counts = {}
     sc = spark.sparkContext
-    for mode, disable in (("plain", True), ("follow", False)):
-        cfg = CrawlerConfig(
-            base_url="http://www.salesforce.com/",
-            base_url_secure="https://www.salesforce.com/",
-            disable_redirects=disable, max_redirect_hops=20,
-        )
-        eng = SparkSiteCrawler(spark, cfg, sitegen.site_to_df(spark, site))
-        eng.seed([r["url"] for r in site[:4]])
-        sc.setJobGroup(f"redir_{mode}", "redirect hop job-count probe")
-        try:
-            eng.run_wave()
-        finally:
-            sc.setJobGroup(None, None)
-        counts[mode] = len(
-            sc.statusTracker().getJobIdsForGroup(f"redir_{mode}")
-        )
-    extra = counts["follow"] - counts["plain"]
+
+    def probe(attempt: int) -> tuple[int, dict]:
+        counts = {}
+        for mode, disable in (("plain", True), ("follow", False)):
+            cfg = CrawlerConfig(
+                base_url="http://www.salesforce.com/",
+                base_url_secure="https://www.salesforce.com/",
+                disable_redirects=disable, max_redirect_hops=20,
+            )
+            eng = SparkSiteCrawler(
+                spark, cfg, sitegen.site_to_df(spark, site)
+            )
+            eng.seed([r["url"] for r in site[:4]])
+            group = f"redir_{mode}_{attempt}"
+            sc.setJobGroup(group, "redirect hop job-count probe")
+            try:
+                eng.run_wave()
+            finally:
+                sc.setJobGroup(None, None)
+            counts[mode] = len(
+                sc.statusTracker().getJobIdsForGroup(group)
+            )
+        return counts["follow"] - counts["plain"], counts
+
     # two jobs per executed hop (the web2 broadcast build + the observed
     # checkpoint) + the terminal zero-live check; a separate per-hop
-    # isEmpty probe or O(max_redirect_hops)=20 behavior fails here
+    # isEmpty probe or O(max_redirect_hops)=20 behavior fails here.
+    # One retry: on a loaded box Spark can resubmit work (broadcast
+    # fallback / checkpoint recompute), inflating the job count for
+    # reasons unrelated to the hop loop's shape — a REAL O(hops²) or
+    # O(max_hops) regression fails both probes deterministically.
+    extra, counts = probe(0)
+    if extra > 2 * max_hops + 2:
+        extra, counts = probe(1)
     assert extra <= 2 * max_hops + 2, (counts, max_hops)
 
 
