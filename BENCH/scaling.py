@@ -256,12 +256,23 @@ cannot drop them (round 5 briefly lost them to exactly that).
   fields (bench.fit_stdout_budget) after round 4's full line outgrew
   the driver's tail capture and recorded `parsed: null` (VERDICT r04
   #1); loadavg_per_query, reruns, calibration, and parse/frontier
-  detail moved to `BENCH/detail_r{N}.json`. The headline `value`
+  detail moved to `BENCH/detail_r{{N}}.json`. The headline `value`
   definition is unchanged and comparable to r1-r4. Idle-box reference
-  for round-5 driver adjudication (VERDICT r04 #6): the committed
-  detail_r05.json was produced on an idle box — headline 59.2 s,
-  272.7k URLs/s, crawl 190.3 pages/s; if a driver number disagrees
-  >1.5x with its recorded rerun minimum, trust the rerun.
+  for round-5 driver adjudication (VERDICT r04 #6):
+  `BENCH/detail_r05_idleref.json` — headline 59.2 s, 272.7k URLs/s,
+  crawl 190.3 pages/s at single-thread calibration md5_4k_per_sec =
+  142,162; if a driver number disagrees >1.5x with its recorded rerun
+  minimum, trust the rerun. CRITICAL for cross-run comparison: the
+  sandbox CPU decays ACROSS runs, not just under load — three
+  identical-code sf0.1 runs measured headline 59.2 s / 83.4 s /
+  177.4 s as the same-run md5 calibration fell 142k → 117k → 113k/s
+  (burstable-credit exhaustion; the 177 s run started at loadavg
+  0.09). Normalize any round-5 bench number by the
+  `calibration.md5_4k_per_sec` embedded in ITS OWN detail file before
+  reading a delta as a code change. The committed detail_r05.json is
+  the complete-coverage run (all 47 pipeline ops incl. the round-5d
+  additions) at md5 117k; detail_r05_idleref.json is the fresh-box
+  best.
 - **round 4** (flagged in ADVICE r04): `global_order_ranged_4m` and
   `parse_html_20k` switched from one-shot timing to unconditional
   best-of-2 min (both raw runs recorded under `reruns`). Cross-round
