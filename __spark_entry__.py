@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_epoch_shuffle": _queries.q_epoch_shuffle,  # ranged two-pass rank ⊂ q_balanced_shards' ordering path; the hash-salt permutation is the delta
         "q_token_fertility": _queries.q_token_fertility,  # token-count kernels ⊂ q_token_counts; one lang-keyed partial agg on top
         "q_domain_blocklist": _queries.q_domain_blocklist,  # quality kernel ⊂ q_quality_score; source rollup + corpus-mean cross-multiply on top (engine loop: schedule_quality_blocklist)
+        "q_corpus_snapshot_diff": _queries.q_corpus_snapshot_diff,  # CDC classify over one full-outer fp join; engine twin diff_crawl_snapshots runs it over real time-travel reads
     }
 
 

@@ -383,7 +383,7 @@ def main() -> None:
                  "q_exact_substr",
                  "q_ndcg", "q_balanced_shards",
                  "q_epoch_shuffle", "q_token_fertility",
-                 "q_domain_blocklist"):
+                 "q_domain_blocklist", "q_corpus_snapshot_diff"):
         pipeline[name] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )

@@ -1399,6 +1399,53 @@ class SparkSiteCrawler:
         self.set_blocked_hosts_df(bl)
         return bl
 
+    def diff_crawl_snapshots(
+        self, old_snapshot_id: int, new_snapshot_id: int
+    ) -> DataFrame:
+        """What changed on the web between two crawl snapshots: per
+        full_url, classify added / removed / changed / unchanged across
+        the two time-travel reads of the ``pages`` table (the Iceberg
+        changelog analog — tableio.diff_snapshots). A URL re-fetched
+        across epochs has several page rows; each side keeps its LATEST
+        observation per URL (max_by over (wave, discovery_order) — one
+        partial agg, map-side combined) and compares an 8-byte xxhash64
+        of the canonical span JSON, so the diff join never carries
+        span payloads."""
+        if self.store is None:
+            raise RuntimeError("diff_crawl_snapshots: no state_dir")
+
+        def latest_fp(df: DataFrame) -> DataFrame:
+            fp = F.xxhash64(F.to_json(F.col("spans")))
+            return (
+                df.filter(F.col("spans").isNotNull())
+                .groupBy("full_url")
+                .agg(
+                    F.max_by(
+                        fp, F.struct("wave", "discovery_order")
+                    ).alias("fp")
+                )
+            )
+
+        # same classify step as tableio.diff_snapshots, inlined because
+        # the fingerprint is derived (pages stores spans, not an fp
+        # column) and each side must reduce to latest-per-url first
+        old = latest_fp(
+            self.store.read(self.spark, "pages", snapshot_id=old_snapshot_id)
+        )
+        new = latest_fp(
+            self.store.read(self.spark, "pages", snapshot_id=new_snapshot_id)
+        )
+        j = old.withColumnRenamed("fp", "_fp_old").join(
+            new.withColumnRenamed("fp", "_fp_new"), "full_url", "full_outer"
+        )
+        status = (
+            F.when(F.col("_fp_old").isNull(), F.lit("added"))
+            .when(F.col("_fp_new").isNull(), F.lit("removed"))
+            .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+        )
+        return j.select("full_url", status.alias("status"))
+
     def export_warc(self, out_dir: str) -> None:
         """Archive the crawl's fetched pages as WARC response records
         (sources/warc.py): WARC-Target-URI = full_url, HTTP status =

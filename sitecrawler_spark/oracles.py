@@ -2986,3 +2986,30 @@ FROM per, tot
 ORACLES["q_domain_blocklist"] = ORACLES["q_domain_blocklist"].replace(
     "__QUALITY_SQL__", ORACLES["q_quality_score"].strip()
 )
+
+
+# q_corpus_snapshot_diff: identical epoch derivation + fp compare.
+ORACLES["q_corpus_snapshot_diff"] = """
+WITH e1 AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp_old
+  FROM documents),
+e2 AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CASE WHEN doc_id % 5 = 0
+                                  THEN 'v2:' || text
+                                  ELSE text END), 1, 15))::BIGINT AS fp_new
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         ('0x' || substr(md5('new:' || text), 1, 15))::BIGINT AS fp_new
+  FROM documents WHERE doc_id % 11 = 0),
+j AS (SELECT coalesce(e1.doc_id, e2.doc_id) AS doc_id, fp_old, fp_new
+      FROM e1 FULL OUTER JOIN e2 ON e1.doc_id = e2.doc_id)
+SELECT doc_id,
+       CASE WHEN fp_old IS NULL THEN 'added'
+            WHEN fp_new IS NULL THEN 'removed'
+            WHEN fp_old <> fp_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM j
+"""

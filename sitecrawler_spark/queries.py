@@ -2575,3 +2575,44 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
                < F.col("_tq") * F.col("n_docs") * 4)
         ).alias("blocked"),
     )
+
+
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC between two corpus epochs (the Iceberg
+    changelog-scan analog; engine.diff_crawl_snapshots is the crawl-
+    table twin over real time-travel reads). Epoch 2 is derived
+    DETERMINISTICALLY from the documents table — docs with
+    doc_id%7==0 removed, text rewritten for doc_id%5==0, clones with
+    doc_id+1000000 added for doc_id%11==0 — same derivation in the
+    DuckDB oracle. Each side carries only (doc_id, 60-bit content
+    fingerprint), so the ONE full-outer sort-merge join never moves
+    text payloads; classification is a null/compare case over the two
+    fp columns."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    e1 = docs.select(
+        "doc_id", K.portable_hash64(F.col("text")).alias("_fp_old")
+    )
+    e2 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        K.portable_hash64(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("v2:"), F.col("text")),
+            ).otherwise(F.col("text"))
+        ).alias("_fp_new"),
+    )
+    added = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        K.portable_hash64(F.concat(F.lit("new:"), F.col("text"))).alias(
+            "_fp_new"
+        ),
+    )
+    j = e1.join(e2.unionByName(added), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("doc_id", status.alias("status"))

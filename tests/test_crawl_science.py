@@ -454,3 +454,78 @@ def test_quality_blocklist_closed_loop(spark):
     # clearing the blocklist restores admission
     eng.set_blocked_hosts_df(None)
     assert eng._blocked_hosts_df is None
+
+
+def _diff_site(ver: int):
+    """Snapshot-diff fixture: fast pages' text carries the epoch
+    version (→ changed), the slow page is static (→ unchanged), and
+    in epoch 2 fast p0 grows a link to a brand-new page (→ added)."""
+    from sitecrawler_spark.crawl.parse import render_spans_to_html
+
+    fast = [f"https://fast.example.com/p{i}.html" for i in range(3)]
+    pages = {}
+    for i, u in enumerate(fast):
+        hrefs = [fast[(i + 1) % 3]]
+        if i == 0:
+            hrefs.append("https://slow.example.com/q0.html")
+            if ver >= 2:
+                hrefs.append("https://fast.example.com/extra.html")
+        pages[u] = (hrefs, f"fast content version {ver} page {i}")
+    pages["https://slow.example.com/q0.html"] = ([fast[0]], "slow static")
+    if ver >= 2:
+        pages["https://fast.example.com/extra.html"] = (
+            [fast[0]], "brand new page")
+    rows = []
+    for url, (hrefs, body) in pages.items():
+        spans = [{"kind": "text", "text": body, "media_ref": None,
+                  "offset": 0}]
+        spans += [{"kind": "anchor", "text": h, "media_ref": None,
+                   "offset": k + 1} for k, h in enumerate(hrefs)]
+        rows.append({
+            "url": url, "host": url.split("/")[2], "status": 200,
+            "content_type": "text/html", "redirect_location": None,
+            "empty_body": False, "transient_fails": 0,
+            "spans": spans,
+            "html": render_spans_to_html(spans, title=url),
+        })
+    return rows
+
+
+def test_diff_crawl_snapshots_classifies_cdc(spark, tmp_path):
+    """engine.diff_crawl_snapshots over REAL time-travel reads: crawl
+    epoch 1, swap in the changed site, recrawl epoch 2, and the diff
+    between the two snapshots classifies changed / unchanged / added
+    per URL (pages is an APPEND log, so 'removed' never occurs here —
+    tableio.diff_snapshots supports it for REPLACE'd tables)."""
+    from sitecrawler_spark.config import CrawlerConfig
+    from sitecrawler_spark.crawl import sitegen
+    from sitecrawler_spark.crawl.engine import SparkSiteCrawler
+
+    cfg = CrawlerConfig(base_url="https://", disable_redirects=True)
+    eng = SparkSiteCrawler(
+        spark, cfg, sitegen.site_to_df(spark, _diff_site(1)),
+        state_dir=str(tmp_path / "state"),
+    )
+    eng.crawl(["https://fast.example.com/p0.html"], max_waves=20)
+    assert eng.pages.count() == 4
+    snap_a = eng.store.latest()["snapshot"]
+
+    eng.web_df = sitegen.site_to_df(spark, _diff_site(2))
+    assert eng.recrawl() == 4
+    eng.crawl(max_waves=20)
+    snap_b = eng.store.latest()["snapshot"]
+
+    got = {r["full_url"]: r["status"]
+           for r in eng.diff_crawl_snapshots(snap_a, snap_b).collect()}
+    assert got == {
+        "https://fast.example.com/p0.html": "changed",
+        "https://fast.example.com/p1.html": "changed",
+        "https://fast.example.com/p2.html": "changed",
+        "https://slow.example.com/q0.html": "unchanged",
+        "https://fast.example.com/extra.html": "added",
+    }
+
+    # the generic tableio differ agrees when fed pre-fingerprinted sides
+    # (identity check on the same snapshot → everything unchanged)
+    same = eng.diff_crawl_snapshots(snap_b, snap_b)
+    assert {r["status"] for r in same.collect()} == {"unchanged"}

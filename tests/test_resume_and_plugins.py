@@ -389,3 +389,29 @@ def test_recrawl_epoch_survives_resume(spark, site, tmp_path):
     per_url = eng2.pages.groupBy("full_url").count().collect()
     assert len(per_url) == n_urls
     assert {r["count"] for r in per_url} == {2}  # every URL re-fetched once
+
+
+def test_tableio_diff_snapshots_generic_cdc(spark, tmp_path):
+    """SnapshotStore.diff_snapshots on an OVERWRITE table: added /
+    removed / changed / unchanged all reachable (the engine's pages
+    twin never sees 'removed' because pages is an APPEND log)."""
+    from sitecrawler_spark.tableio import SnapshotStore, OVERWRITE
+
+    store = SnapshotStore(str(tmp_path / "st"), {"t": OVERWRITE})
+    v1 = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, fp long"
+    )
+    v2 = spark.createDataFrame(
+        [("a", 1), ("b", 9), ("d", 4)], "k string, fp long"
+    )
+    s1 = store.commit(store.next_snapshot_id(), {"t": v1})["snapshot"]
+    s2 = store.commit(store.next_snapshot_id(), {"t": v2})["snapshot"]
+    got = {
+        r["k"]: r["status"]
+        for r in store.diff_snapshots(
+            spark, "t", s1, s2, ["k"], "fp"
+        ).collect()
+    }
+    assert got == {
+        "a": "unchanged", "b": "changed", "c": "removed", "d": "added"
+    }
