@@ -110,6 +110,26 @@ class CrawlerConfig:
                                           # mapped to 0 is unlimited
     max_wave_size: int = 0                # global wave cap (≙ maxProcessWaiting); 0 = unlimited
     host_salts: int = 1                   # salt buckets for hot-host skew
+    # Wave-scoped AQE partition sizing (guide §2.2/§2.4): during a wave
+    # the engine sets adaptive.coalescePartitions.parallelismFirst=false
+    # with this advisory size, so the many tiny per-wave shuffles
+    # (anti-joins, dedup windows, politeness windows) coalesce to
+    # byte-sized partitions instead of fanning every KB-scale exchange
+    # out to spark.sql.shuffle.partitions tasks. Scale-adaptive by
+    # construction: AQE only coalesces DOWN — a 100-TB wave on a
+    # cluster-tuned shuffle.partitions setting is untouched, while a
+    # 44-row wave runs 1-partition stages. 0 disables the override.
+    # 8 MiB (not the 64 MiB global default) keeps the vectorized
+    # clean/normalize UDF stages parallel on mid-size waves.
+    wave_shuffle_advisory_bytes: int = 8 * 1024 * 1024
+    # Broadcast the visited side of the per-wave anti-joins while the
+    # exact row count (tracked via the insert-delta observations) stays
+    # under this bound (guide §3.1: a broadcast anti-join removes the
+    # exchange on BOTH sides of all four seen-checks per wave). Beyond
+    # the bound the joins fall back to the shuffled plan unchanged —
+    # 10^10-URL visited sets never broadcast. ~64 B/URL ⇒ the default
+    # caps the broadcast at ≈64 MB, the session's autoBroadcast bound.
+    visited_broadcast_max_rows: int = 1_000_000
     host_buckets: int = 8                 # bucket(host) partitioning of state tables
     order_partitions: int | None = None   # force assign_global_order's ranged
                                           # path with N partitions (None = auto:

@@ -293,6 +293,8 @@ class SparkSiteCrawler:
             seed_url = cfg.base_url if cfg.base_url is not None else cfg.base_url_secure
             df = spark.createDataFrame([(seed_url, 0, 0, 0)], FRONTIER_SCHEMA)
         self.frontier = df
+        self._frontier_rows = None
+        self._visited_rows = 0
         self._max_order = int(
             df.agg(F.coalesce(F.max("discovery_order"), F.lit(0))).collect()[0][0]
         )
@@ -348,6 +350,7 @@ class SparkSiteCrawler:
         n = adm.count()
         if n:
             self.frontier = self.frontier.unionByName(adm)
+            self._frontier_rows = None
             self._max_order = int(
                 adm.agg(F.max("discovery_order")).collect()[0][0]
             )
@@ -357,6 +360,8 @@ class SparkSiteCrawler:
         """Empty crawl state (no frontier rows, empty visited, fresh
         filters) — for callers that enqueue seeds incrementally."""
         self.frontier = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        self._frontier_rows = 0
+        self._visited_rows = 0
         self._visited_parts = [self.spark.createDataFrame([], "s string")]
         if self.cfg.seen_filter == "bloom":
             self.seen = self._make_bloom()
@@ -371,12 +376,46 @@ class SparkSiteCrawler:
 
     # -- one wave ------------------------------------------------------------
 
+    _WAVE_AQE_KEYS = (
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )
+
     def run_wave(self) -> dict:
+        """One crawl wave. Wave-scoped AQE override (guide §2.2): tiny
+        per-wave shuffles coalesce to byte-sized partitions instead of
+        shuffle.partitions-many near-empty tasks; restored on exit so
+        the session's global tuning is untouched."""
+        if not self.cfg.wave_shuffle_advisory_bytes:
+            return self._run_wave_inner()
+        conf = self.spark.conf
+        saved = {k: conf.get(k) for k in self._WAVE_AQE_KEYS}
+        conf.set(self._WAVE_AQE_KEYS[0], "false")
+        conf.set(
+            self._WAVE_AQE_KEYS[1],
+            str(self.cfg.wave_shuffle_advisory_bytes) + "b",
+        )
+        try:
+            return self._run_wave_inner()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
+
+    def _run_wave_inner(self) -> dict:
         cfg, spark = self.cfg, self.spark
         t0 = time.time()
         wave = self.wave
         frontier = self.frontier
         visited = self.visited
+        # NOTE (measured, guide §1.1): hinting the small visited side of
+        # the anti-joins as an explicit broadcast was TRIED and was
+        # SLOWER (per-join broadcast-build latency ~0.3 s × 4 joins/wave
+        # beats nothing — AQE already converts these tiny shuffled
+        # anti-joins to broadcast with a local shuffle read, reusing the
+        # one exchange). The shuffled plan + AQE stays.
 
         fr = frontier.withColumn("full_url", self._full_url(F.col("raw_url")))
         if getattr(self, "_host_scores_df", None) is not None:
@@ -441,12 +480,14 @@ class SparkSiteCrawler:
         ok = anti_join_seen(ok, "full_url", visited, "s", self.seen)
         ok = ok.withColumn("url_clean", self._clean(F.col("full_url")))
         ok = anti_join_seen(ok, "url_clean", visited, "s", self.seen)
-        # within-wave sequential-dequeue emulation: keep earliest per
-        # exact url, then earliest per clean form (null cleans exempt)
-        w_url = Window.partitionBy("full_url").orderBy(*pri)
-        ok = ok.withColumn("_rn", F.row_number().over(w_url)).filter(
-            F.col("_rn") == 1
-        ).drop("_rn")
+        # within-wave sequential-dequeue emulation: one keep-earliest
+        # window on the CLEAN key alone. Equivalent to the former
+        # two-step (earliest per exact url, then earliest per clean
+        # form): rows sharing a full_url share a clean key, and the
+        # min-by-pri row of a clean group is also the min of its own
+        # full_url group — min of per-group minima = global min. Null
+        # cleans get a per-full_url sentinel key, preserving the exact
+        # per-url dedup for them. One exchange+sort per wave, not two.
         clean_key = F.coalesce(
             F.col("url_clean"), F.concat(F.lit("\x00"), F.col("full_url"))
         )
@@ -532,6 +573,7 @@ class SparkSiteCrawler:
             n_fetched = int(obs_ok.get["c"])
         if n_fetched == 0:
             self.frontier = frontier.limit(0).localCheckpoint(eager=True)
+            self._frontier_rows = 0
             return {"wave": wave, "fetched": 0, "admitted": 0, "stopped": True}
 
         # ---- visited insert BEFORE fetch (SiteCrawler.java:1042-1047) -----
@@ -542,24 +584,57 @@ class SparkSiteCrawler:
         )
         # duplicate rows are harmless to anti-joins, so no global distinct
         # — only the (small) per-wave insert set is deduped and
-        # checkpointed; the union over parts stays lazy
-        ins_part = inserts.distinct().localCheckpoint(eager=True)
+        # checkpointed; the union over parts stays lazy. Its observed
+        # row count maintains the exact visited size driving the
+        # broadcast-vs-shuffle anti-join decision above.
+        obs_ins = Observation(f"e{id(self)}_w{wave}_ins")
+        ins_part = inserts.distinct().observe(
+            obs_ins, F.count(F.lit(1)).alias("c")
+        ).localCheckpoint(eager=True)
+        if getattr(self, "_visited_rows", 0) is not None:
+            self._visited_rows = (
+                getattr(self, "_visited_rows", 0) + int(obs_ins.get["c"])
+            )
         visited2 = visited.unionByName(ins_part)
         if self.seen is not None:
             self.seen.add_df(ins_part, "s")
 
         # ---- fetch (join against synthetic web; miss → 404) ---------------
-        pages = self._fetch(fetch_set).localCheckpoint(eager=True)
+        # the error count (metrics) and the transient-retry candidate
+        # count both ride the ONE fetch checkpoint as observations —
+        # previously a separate pages_out materialization + an isEmpty
+        # probe job
+        obs_p = Observation(f"e{id(self)}_w{wave}_pages")
+        retry_pred = (
+            F.col("error_code").isin(2000, 2001)
+            & (F.col("retry_count") < cfg.max_retries)
+        )
+        pages = (
+            self._fetch(fetch_set)
+            .observe(
+                obs_p,
+                F.count(
+                    F.when(F.col("error_code").isNotNull(), 1)
+                ).alias("ne"),
+                F.count(F.when(retry_pred, 1)).alias("nr"),
+            )
+            .localCheckpoint(eager=True)
+        )
 
         # ---- outlinks + redirect targets ----------------------------------
         cand, links_out = self._extract_candidates(pages)
 
         # ---- admission (SiteCrawler.java:943-957) -------------------------
+        # no-cap waves: a statically-EMPTY LocalRelation (not
+        # frontier.limit(0), which Catalyst cannot prove empty) lets
+        # PropagateEmptyRelation erase the deferred anti-join and the
+        # deferred side of the frontier union from every wave plan
         deferred = frontier.join(
             fetch_set.select("discovery_order"), "discovery_order", "left_anti"
         ).join(ok.select("discovery_order"), "discovery_order", "semi") \
             if cfg.politeness_budget > 0 or cfg.host_budgets or wave_cap > 0 \
-            or cfg.short_circuit_after != 0 else frontier.limit(0)
+            or cfg.short_circuit_after != 0 \
+            else spark.createDataFrame([], frontier.schema)
 
         if not getattr(self, "_discover_urls", True):
             cand = cand.limit(0)  # disableCrawling: drain without discovery
@@ -593,60 +668,54 @@ class SparkSiteCrawler:
 
         # ---- transient-retry re-admission (target-only; cuckoo delete) ----
         n_retried = 0
-        if cfg.retry_transient:
-            retry = pages.filter(
-                F.col("error_code").isin(2000, 2001)  # transient socket class
-                & (F.col("retry_count") < cfg.max_retries)
+        if cfg.retry_transient and int(obs_p.get["nr"]) > 0:
+            # candidate count observed on the fetch checkpoint — no
+            # isEmpty probe job over the (checkpointed) pages
+            n_retried = int(obs_p.get["nr"])
+            retry = pages.filter(retry_pred).localCheckpoint(eager=True)
+            # un-see: remove exact strings; cuckoo supports true
+            # delete, bloom stays stale (exact backstop keeps
+            # correctness, only prefilter selectivity degrades)
+            rm = retry.select(F.col("full_url").alias("s")).unionByName(
+                retry.select(self._clean(F.col("full_url")).alias("s"))
+                .filter(F.col("s").isNotNull())
             )
-            if not retry.isEmpty():
-                obs_r = Observation(f"e{id(self)}_w{wave}_retry")
-                retry = retry.observe(
-                    obs_r, F.count(F.lit(1)).alias("c")
-                ).localCheckpoint(eager=True)
-                n_retried = int(obs_r.get["c"])
-                # un-see: remove exact strings; cuckoo supports true
-                # delete, bloom stays stale (exact backstop keeps
-                # correctness, only prefilter selectivity degrades)
-                rm = retry.select(F.col("full_url").alias("s")).unionByName(
-                    retry.select(self._clean(F.col("full_url")).alias("s"))
-                    .filter(F.col("s").isNotNull())
-                )
-                visited2 = visited2.join(rm, "s", "left_anti").localCheckpoint(
-                    eager=True
-                )
-                self._visited_parts = [visited2]
-                ins_part = None  # already folded into the collapsed part
-                from sitecrawler_spark.operators.seen import SparkCuckooFilter
+            visited2 = visited2.join(rm, "s", "left_anti").localCheckpoint(
+                eager=True
+            )
+            self._visited_parts = [visited2]
+            self._visited_rows = None  # deletions: exact count unknown
+            ins_part = None  # already folded into the collapsed part
+            from sitecrawler_spark.operators.seen import SparkCuckooFilter
 
-                if isinstance(self.seen, SparkCuckooFilter):
-                    self.seen.delete_df(rm, "s")
-                base_order = new_frontier.agg(
-                    F.coalesce(F.max("discovery_order"), F.lit(max_order))
-                ).collect()[0][0]
-                requeue = assign_global_order(
-                    retry.select(
-                        F.col("full_url").alias("raw_url"),
-                        F.col("discovery_order").alias("_old"),
-                        "depth", "retry_count",
-                    ),
-                    ["_old"], "discovery_order", start=base_order + 1,
-                    num_partitions=cfg.order_partitions,
-                ).select(
-                    "raw_url", "discovery_order", "depth",
-                    (F.col("retry_count") + 1).alias("retry_count"),
-                )
-                new_frontier = new_frontier.unionByName(requeue)
+            if isinstance(self.seen, SparkCuckooFilter):
+                self.seen.delete_df(rm, "s")
+            base_order = new_frontier.agg(
+                F.coalesce(F.max("discovery_order"), F.lit(max_order))
+            ).collect()[0][0]
+            requeue = assign_global_order(
+                retry.select(
+                    F.col("full_url").alias("raw_url"),
+                    F.col("discovery_order").alias("_old"),
+                    "depth", "retry_count",
+                ),
+                ["_old"], "discovery_order", start=base_order + 1,
+                num_partitions=cfg.order_partitions,
+            ).select(
+                "raw_url", "discovery_order", "depth",
+                (F.col("retry_count") + 1).alias("retry_count"),
+            )
+            new_frontier = new_frontier.unionByName(requeue)
 
         # ---- commit -------------------------------------------------------
-        obs_p = Observation(f"e{id(self)}_w{wave}_pages")
+        # pages_out / links_part stay LAZY projections over the wave's
+        # checkpointed frames (pages, raw) — each was previously a
+        # second materialization job of data already pinned this wave
         pages_out = pages.select(
             "full_url", "host", F.lit(wave).alias("wave"), "discovery_order",
             "depth", "eff_status", "error_code", "spans",
-        ).observe(
-            obs_p,
-            F.count(F.when(F.col("error_code").isNotNull(), 1)).alias("ne"),
-        ).localCheckpoint(eager=True)
-        links_part = links_out.localCheckpoint(eager=True)
+        )
+        links_part = links_out
         # the frontier checkpoint's observation does double duty:
         # frontier size (metrics) + running max discovery_order
         # (carried forward for the next wave) — previously a separate
@@ -689,6 +758,9 @@ class SparkSiteCrawler:
         row = obs_f.get
         n_admitted = int(row["c"])
         self._max_order = int(row["m"])
+        # frontier size carried in driver state so crawl_progress needs
+        # no count() job (the observation already measured it)
+        self._frontier_rows = n_admitted
         wall = time.time() - t0
         n_errors = int(obs_p.get["ne"])
         metrics = {
@@ -1079,7 +1151,9 @@ class SparkSiteCrawler:
         beans/CrawlProgress.java:10-34). Wave-model mapping: nothing sits
         in download/processing limbo between waves, so scheduled counts
         are 0 at wave boundaries; leftToCrawl = frontier size."""
-        left = self.frontier.count() if self.frontier is not None else 0
+        left = getattr(self, "_frontier_rows", None)
+        if left is None:
+            left = self.frontier.count() if self.frontier is not None else 0
         fully = self.visited_counter
         denom = fully + left
         complete = round(fully / denom * 10000) / 100.0 if denom else 100.0
@@ -1235,6 +1309,7 @@ class SparkSiteCrawler:
             eager=True
         )
         self._visited_parts = [visited2]
+        self._visited_rows = None  # deletions: exact count unknown
         # the next wave's snapshot must REPLACE the visited table: an
         # APPEND delta cannot express the deletions, and a resume from
         # a delta-only commit would still see the un-seen URLs
@@ -1276,6 +1351,7 @@ class SparkSiteCrawler:
             )
             .localCheckpoint(eager=True)
         )
+        self._frontier_rows = None
         self._max_order = int(obs_fr.get["m"])
         return int(obs_rq.get["c"])
 
@@ -1545,9 +1621,11 @@ class SparkSiteCrawler:
         sid = m["snapshot"]
         self._snap_base = sid
         self.frontier = self.store.read(self.spark, "frontier", snapshot_id=sid)
+        self._frontier_rows = None
         self._visited_parts = [
             self.store.read(self.spark, "visited", snapshot_id=sid)
         ]
+        self._visited_rows = None  # store-side count unknown
         pages = self.store.read(self.spark, "pages", snapshot_id=sid)
         links = self.store.read(self.spark, "links", snapshot_id=sid)
         self._pages_parts = [pages] if pages is not None else []

@@ -28,7 +28,7 @@ the classic iterative-DataFrame trap).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -49,23 +49,29 @@ def connected_components(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     ).distinct().localCheckpoint(eager=True)
 
+    # the convergence witness (SUM(label)) rides each round's
+    # checkpoint as an Observation — previously a separate 1-row agg
+    # job per round, doubling the job count of the iteration
+    obs0 = Observation()
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
-    ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    ).observe(obs0, F.sum("label").alias("s")).localCheckpoint(eager=True)
+    prev_sum = obs0.get["s"]
 
     for _ in range(max_rounds):
         msgs = (
             und.join(labels, und.src == labels.id)
             .select(F.col("dst").alias("id"), "label")
         )
+        obs = Observation()
         labels = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

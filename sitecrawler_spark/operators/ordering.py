@@ -12,7 +12,7 @@ bounded by the range partitioner.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -27,9 +27,14 @@ def assign_global_order(
     order defined by ``sort_cols`` (which must be tie-free)."""
     # materialize the input ONCE: isEmpty, the range-partitioner's
     # sampling pass, and the ranking would otherwise each re-execute the
-    # (often expensive) upstream plan
-    df = df.localCheckpoint(eager=True)
-    cnt = df.count()
+    # (often expensive) upstream plan. The row count needed for the
+    # small/ranged path split rides the checkpoint as an Observation —
+    # previously a second count() job per call (one per crawl wave).
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=True
+    )
+    cnt = int(obs.get["c"])
     if cnt == 0:
         return df.withColumn(out_col, F.lit(None).cast("long"))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism

@@ -128,9 +128,19 @@ def train_logreg_hashed(
       w_micro  -= round(lr·grad[b] / n_docs)     (long)
     """
     spark = docs.sparkSession
-    feats = hashed_presence_features(
-        docs, text_col, label_col, id_col, n_buckets
-    ).localCheckpoint(eager=True)
+    # checkpoint the feature table HASH-PARTITIONED ON id: the margin
+    # aggregation (groupBy id, y) of every iteration and of the final
+    # scoring pass then needs NO exchange (HashPartitioning(id)
+    # satisfies the clustered distribution on (id, y)), and the
+    # gradient join's probe side is already id-clustered — the feature
+    # rows are shuffled once at build instead of once per iteration.
+    feats = (
+        hashed_presence_features(
+            docs, text_col, label_col, id_col, n_buckets
+        )
+        .repartition("id")
+        .localCheckpoint(eager=True)
+    )
     n_docs = docs.count()
 
     w = spark.createDataFrame(

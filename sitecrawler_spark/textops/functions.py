@@ -349,9 +349,19 @@ def dsir_logweights(
         "id", "is_target",
         F.pmod(portable_hash64(F.col("g")), F.lit(n_buckets)).alias("b"),
     )
-    counts = grams.groupBy("b").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+    # pre-combine occurrences to (id, is_target, b) partials FIRST: the
+    # bucket-count branch and the per-doc weight branch then both hang
+    # off ONE identical exchange (ReusedExchange — the banded_pairs
+    # pattern), so the expensive tokenize + md5-per-gram scan runs once
+    # instead of once per consumer. Σ over occurrences == Σ c·(per-
+    # bucket term) exactly (all-long arithmetic), so results are
+    # bit-identical to the per-occurrence formulation.
+    per = grams.groupBy("id", "is_target", "b").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    counts = per.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), F.col("_c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("_c"))).alias("cr"),
     )
     totals = counts.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
@@ -368,8 +378,8 @@ def dsir_logweights(
             )
         ).cast("long").alias("lr_micro"),
     )
-    return grams.join(F.broadcast(lr), "b").groupBy("id", "is_target").agg(
-        F.sum("lr_micro").alias("logw_micro")
+    return per.join(F.broadcast(lr), "b").groupBy("id", "is_target").agg(
+        F.sum(F.col("_c") * F.col("lr_micro")).alias("logw_micro")
     )
 
 
