@@ -144,7 +144,12 @@ def dedup_canonical(docs: DataFrame) -> DataFrame:
     phrasing, so the r=2 banding q_training_pipeline uses on the
     synthetic documents table would chain whole templates into one
     cluster); keep each cluster's canonical (minimum doc_id)."""
-    uniq = exact_dedup(docs, "text", "doc_id")
+    # pin the survivors (same rationale as q_training_pipeline): uniq
+    # feeds the band build, the cluster nodes and the final join, and
+    # its boilerplate-strip + gate + window subtree defeats AQE's
+    # runtime stage-reuse across the band self-join — unpinned, the
+    # whole upstream pipeline re-ran once per consumer
+    uniq = exact_dedup(docs, "text", "doc_id").localCheckpoint(eager=True)
     edges = minhash_lsh_pairs(
         uniq, "text", "doc_id", n_hashes=16, n_bands=4, k=5
     )

@@ -205,24 +205,27 @@ def embedding_neardup_pairs(
             .filter(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
-    x = b.alias("x")
-    y = b.alias("y")
+    # bucket join + pair dedup move ONLY the 16-byte id pair (guide
+    # §2.3: shuffle keys, not payloads) — the former shape carried both
+    # 512-byte vectors through the dropDuplicates exchange and verified
+    # a pair once per colliding table before the dedup; vectors join
+    # back onto the deduped pairs for ONE verify each (the
+    # simhash_pairs pattern)
+    x = b.select(F.col("id").alias("id_a"), "table", "bucket").alias("x")
+    y = b.select(F.col("id").alias("id_b"), "table", "bucket").alias("y")
     cand = (
-        x.join(
-            y,
-            (F.col("x.table") == F.col("y.table"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(
-            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
-            F.col("x.vec").alias("va"), F.col("y.vec").alias("vb"),
-        )
-        # a pair colliding in several tables is verified once
-        .dropDuplicates(["id_a", "id_b"])
+        x.join(y, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        cand.select(
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a", "id_b",
             F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("sim"),
         )

@@ -74,9 +74,26 @@ POLITENESS_K = 3
 MIRROR_FP_BUCKET_CAP = 10_000
 
 
+# Payload tables whose scans feed expensive per-row map work (minhash
+# signatures, SRP buckets, hashed features, tokenize+md5 …). The test
+# fixtures are SINGLE-row-group parquet files, so their scans are ONE
+# partition and all that map work serializes onto one core (guide §2.5:
+# unsplittable input — repartition immediately after the read). The
+# lift is conditional: a scan that already has ≥ defaultParallelism
+# splits (any real at-scale table) is left untouched, so no shuffle is
+# added where the input is already parallel. Hash-keyed repartition
+# (unique id) — deterministic placement, no sort-before-repartition.
+_PARALLEL_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
+    p = spark.sparkContext.defaultParallelism
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        key = _PARALLEL_TABLES.get(t)
+        if key is not None and df.rdd.getNumPartitions() < p:
+            df = df.repartition(p, F.col(key))
+        df.createOrReplaceTempView(t)
 
 
 def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1479,7 +1496,12 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = scored.filter(
         (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
     )
-    uniq = exact_dedup(kept, "text", "doc_id")
+    # pin the deduped survivors: uniq feeds THREE consumers (band build,
+    # cluster nodes, final join) and sits on a Window subtree that AQE's
+    # runtime stage-reuse does not canonicalize across the band
+    # self-join's re-aliasing — unpinned, the minhash signature scan ran
+    # 3× (measured 26 s vs 8 s for the band stage at sf0.1)
+    uniq = exact_dedup(kept, "text", "doc_id").localCheckpoint(eager=True)
     edges = minhash_lsh_pairs(uniq, "text", "doc_id",
                               n_hashes=8, n_bands=4, k=5)
     clusters = dedup_clusters(

@@ -33,6 +33,16 @@ def get_spark(
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE parallelismFirst computes its coalesce target as
+        # max(shuffleBytes/defaultParallelism, minPartitionSize); the
+        # 1 MiB default floor collapses every sub-MB exchange to ONE
+        # partition, serializing the CPU-dense operators that sit above
+        # post-shuffle stages (measured: the minhash band build over a
+        # deduped frame ran 1-core, 21.5 s → 5.3 s at sf0.1 with the
+        # floor at 64k). Inert at scale: once shuffleBytes exceeds
+        # parallelism × 64 KiB the bytes/parallelism term dominates and
+        # partition sizing is unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
