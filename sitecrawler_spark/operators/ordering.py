@@ -46,24 +46,29 @@ def assign_global_order(
             out_col, (F.row_number().over(w) + F.lit(start - 1)).cast("long")
         )
     ranged = df.repartitionByRange(n, *sort_cols)
-    # pin partition ids before using them twice (window + count pass)
+    # pin partition ids before using them twice (window + offset pass)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
         eager=True
     )
     w = Window.partitionBy("_pid").orderBy(*sort_cols)
     local = with_pid.withColumn("_lrank", F.row_number().over(w))
-    counts = {r["_pid"]: r["cnt"] for r in
-              with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, start
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # per-partition offsets = exclusive cumsum of partition counts,
+    # computed DISTRIBUTED (n tiny rows) and broadcast-joined back —
+    # previously a separate collect() job + a driver-built map literal;
+    # now the offset branch rides the same final job over the pinned
+    # input (one action fewer per call, no driver round-trip)
+    pc = with_pid.groupBy("_pid").agg(F.count("*").alias("_pc"))
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = pc.select(
+        "_pid",
+        (F.coalesce(F.sum("_pc").over(wo), F.lit(0)) + F.lit(start)).alias(
+            "_off"
+        ),
     )
     return (
-        local.withColumn(
-            out_col, (off_map[F.col("_pid")] + F.col("_lrank") - 1).cast("long")
+        local.join(F.broadcast(off), "_pid")
+        .withColumn(
+            out_col, (F.col("_off") + F.col("_lrank") - 1).cast("long")
         )
-        .drop("_pid", "_lrank")
+        .drop("_pid", "_lrank", "_off")
     )
